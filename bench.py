@@ -1,0 +1,84 @@
+"""Benchmark: CoGNN-Opt training epoch throughput in edge-iterations/s.
+
+Prints ONE JSON line:
+  {"metric": "edge_iters_per_s", "value": N, "unit": "edge-iters/s",
+   "vs_baseline": N / 5300}
+
+Baseline: the reference's smallest documented run — 2-party Cora "2s",
+12 schedule iterations over 10,556 directed edges in 23.9 s of iteration time
+≈ 5.3k edge-iterations/s (BASELINE.md "Implied edge throughput"). We use the
+same accounting: value = schedule_iterations × directed_edges / wall_seconds
+for full secret-shared... (plaintext this round) CoGNN-Opt training epochs,
+2 parties, Cora-scale graph, on one TPU chip.
+
+Extra context lines go to stderr; stdout carries only the JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_EDGE_ITERS_PER_S = 5300.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from cognn_tpu.engine import GasEngine, build_device_plan
+    from cognn_tpu.graph import build_party_graph
+    from cognn_tpu.harness.datasets import synthetic_planetoid
+
+    name = "cora"
+    n_parties = 2
+    ds = synthetic_planetoid(name)
+    n = len(ds.features)
+    vids = np.arange(n)
+    tid = {v: v % n_parties for v in range(n)}
+    graphs = []
+    for p in range(n_parties):
+        g = build_party_graph(ds.src, ds.dst, None, tid, p, n_parties,
+                              all_vids=vids)
+        g.set_vertex_data(vids, ds.features, ds.labels)
+        graphs.append(g)
+    plan = build_device_plan(graphs, lane=128)
+    engine = GasEngine(plan, ds.param, "opt")
+    num_edges = len(ds.src)
+    iters_per_epoch = engine.epoch_layers  # 6 (2 fwd + 4 bwd)
+
+    log(f"backend={jax.default_backend()} edges={num_edges} "
+        f"V_pad={plan.V} E_loc_pad={plan.E_loc} M_pad={plan.M}")
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    engine.run_epoch()
+    jax.block_until_ready(engine.weights)
+    log(f"compile+first epoch: {time.perf_counter() - t0:.2f}s")
+
+    # timed epochs
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        m = engine.run_epoch()
+    jax.block_until_ready(engine.weights)
+    dt = time.perf_counter() - t0
+    per_epoch = dt / reps
+    value = iters_per_epoch * num_edges / per_epoch
+    log(f"epoch time: {per_epoch*1e3:.2f} ms  loss={float(m['loss'][0]):.4f} "
+        f"train_acc={float(m['train_acc'][0]):.3f}")
+
+    print(json.dumps({
+        "metric": "edge_iters_per_s",
+        "value": round(value, 1),
+        "unit": "edge-iters/s",
+        "vs_baseline": round(value / BASELINE_EDGE_ITERS_PER_S, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,417 @@
+"""The jitted GAS engine — TPU-native replacement for the reference's
+``SSEdgeCentricAlgoKernel`` iteration machinery.
+
+Where the reference choreographs per-peer client/server threads, semaphores,
+oblivious mappers and 2PC rounds (`ss_vertex_centric_algo_kernel.h:680-1189`),
+this engine compiles ONE function per epoch: the full 3L-phase (opt) / 2L-phase
+(unopt) schedule is traced as straight-line dataflow — phase barriers become
+data dependencies, the inter-party exchange becomes a collective, and XLA
+fuses/overlaps the rest. Per-iteration semantics (including every quirk) match
+`cognn_tpu.models.oracle` exactly; tests assert allclose against it.
+
+Two communication modes share the phase code:
+
+  * ``stacked`` — all P parties batched on the leading axis of every array in
+    one program (single-chip execution; the halo exchange is a transpose).
+  * ``sharded`` — the party axis is sharded over a ``jax.sharding.Mesh`` axis
+    "party" via ``jax.shard_map``; the halo exchange is ``lax.all_to_all``
+    over ICI and the weight average is ``lax.pmean``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cognn_tpu.config import GNNParam
+from cognn_tpu.engine.plan import DevicePlan, set_split
+from cognn_tpu.ops import segment_sum_rows
+from cognn_tpu.utils.glibc_rand import glorot_init
+
+
+def norm0(deg: jnp.ndarray) -> jnp.ndarray:
+    """(deg+1)^-1/2 with the reference's zero-degree-is-zero quirk
+    (`optimize-gcn/gcn.h:219-221`)."""
+    return jnp.where(deg == 0, 0.0, jax.lax.rsqrt(deg + 1.0))
+
+
+class _Comm:
+    """Stacked-mode collectives (party axis = leading batch axis)."""
+
+    def halo(self, send: jnp.ndarray) -> jnp.ndarray:
+        # send[i, j] = party i's update rows for party j -> recv[j, i]
+        return jnp.swapaxes(send, 0, 1)
+
+    def weight_mean(self, w: jnp.ndarray) -> jnp.ndarray:
+        return jnp.broadcast_to(jnp.mean(w, axis=0, keepdims=True), w.shape)
+
+
+class _ShardedComm:
+    """Sharded-mode collectives (inside shard_map, axis name "party")."""
+
+    def halo(self, send: jnp.ndarray) -> jnp.ndarray:
+        # local send: [1, P, M, D]; exchange over the party axis
+        out = jax.lax.all_to_all(send, "party", split_axis=1, concat_axis=0)
+        return jnp.swapaxes(out, 0, 1)  # [1, P, M, D] with [0, i] = from i
+
+    def weight_mean(self, w: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.pmean(w, "party")
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "vertex_mask", "in_deg", "border", "labels", "num_local", "train_n",
+        "val_n", "loc_src", "loc_seg", "loc_valid", "rem_src", "rem_seg",
+        "rem_valid", "recv_target", "recv_mask", "gather_ok_self",
+        "gather_ok_from",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class _PlanArrays:
+    """Device-resident plan tensors (leading party axis, maybe sharded)."""
+
+    vertex_mask: jnp.ndarray
+    in_deg: jnp.ndarray
+    border: jnp.ndarray
+    labels: jnp.ndarray
+    num_local: jnp.ndarray
+    train_n: jnp.ndarray
+    val_n: jnp.ndarray
+    loc_src: jnp.ndarray
+    loc_seg: jnp.ndarray
+    loc_valid: jnp.ndarray
+    rem_src: jnp.ndarray
+    rem_seg: jnp.ndarray
+    rem_valid: jnp.ndarray
+    recv_target: jnp.ndarray
+    recv_mask: jnp.ndarray
+    gather_ok_self: jnp.ndarray  # [P, V]
+    gather_ok_from: jnp.ndarray  # [P, P, V], diagonal False
+
+
+def _plan_arrays(plan: DevicePlan, dtype) -> _PlanArrays:
+    P = plan.num_parties
+    ok_self = np.stack([plan.gather_ok[p, p] for p in range(P)])
+    ok_from = plan.gather_ok.copy()
+    for p in range(P):
+        ok_from[p, p] = False
+    return _PlanArrays(
+        vertex_mask=jnp.asarray(plan.vertex_mask),
+        in_deg=jnp.asarray(plan.in_deg, dtype),
+        border=jnp.asarray(plan.border),
+        labels=jnp.asarray(plan.labels),
+        num_local=jnp.asarray(plan.num_local),
+        train_n=jnp.asarray(plan.train_n),
+        val_n=jnp.asarray(plan.val_n),
+        loc_src=jnp.asarray(plan.loc_src),
+        loc_seg=jnp.asarray(plan.loc_seg),
+        loc_valid=jnp.asarray(plan.loc_valid),
+        rem_src=jnp.asarray(plan.rem_src),
+        rem_seg=jnp.asarray(plan.rem_seg),
+        rem_valid=jnp.asarray(plan.rem_valid),
+        recv_target=jnp.asarray(plan.recv_target),
+        recv_mask=jnp.asarray(plan.recv_mask),
+        gather_ok_self=jnp.asarray(ok_self),
+        gather_ok_from=jnp.asarray(ok_from),
+    )
+
+
+def _take_rows(h: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return jax.vmap(lambda hp, ip: hp[ip])(h, idx)
+
+
+class GasEngine:
+    """Compiled GAS schedules over a :class:`DevicePlan`.
+
+    ``mode``: "stacked" (default, single device) or "sharded" (party axis over
+    mesh axis "party").
+    """
+
+    def __init__(self, plan: DevicePlan, param: GNNParam,
+                 variant: str = "opt", dtype=jnp.float32,
+                 mode: str = "stacked", mesh: Optional[jax.sharding.Mesh] = None,
+                 seed: int = 42):
+        if variant not in ("opt", "opt_inference", "unopt"):
+            raise ValueError(variant)
+        set_split(plan, param.train_ratio, param.val_ratio)
+        self.plan = plan
+        self.param = param
+        self.variant = variant
+        self.dtype = dtype
+        self.mode = mode
+        self.mesh = mesh
+        self.L = param.num_layers
+        self.epoch_layers = (3 if variant.startswith("opt") else 2) * self.L
+        self.P = plan.num_parties
+        self.arr = _plan_arrays(plan, dtype)
+        self.x0 = jnp.asarray(plan.features, dtype)
+        dims = param.layer_dims
+        # per-party weight replicas (reference keeps one per party and
+        # averages after each layer update, gcn.h:747-802)
+        self.weights: List[jnp.ndarray] = [
+            jnp.broadcast_to(
+                jnp.asarray(glorot_init(dims[i], dims[i + 1], seed), dtype),
+                (self.P, dims[i], dims[i + 1])).copy()
+            for i in range(self.L)
+        ]
+
+        if mode == "sharded":
+            if mesh is None:
+                raise ValueError("sharded mode requires a mesh")
+            self._epoch = self._build_sharded(self._epoch_body)
+            self._forward = self._build_sharded(self._forward_body)
+        else:
+            self._epoch = jax.jit(functools.partial(self._epoch_body, _Comm()))
+            self._forward = jax.jit(
+                functools.partial(self._forward_body, _Comm()))
+
+    # ------------------------------------------------------------------
+    def _build_sharded(self, body):
+        from jax.sharding import PartitionSpec as P
+
+        comm = _ShardedComm()
+        pspec = P("party")
+        arr_specs = jax.tree.map(lambda _: pspec, self.arr)
+        fn = jax.shard_map(
+            functools.partial(body, comm),
+            mesh=self.mesh,
+            in_specs=(arr_specs, [pspec] * self.L, pspec),
+            out_specs=(jax.tree.map(lambda _: pspec, self._out_tree(body))),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _out_tree(self, body):
+        # evaluate output structure abstractly for out_specs
+        comm = _Comm()
+        outs = jax.eval_shape(functools.partial(body, comm), self.arr,
+                              self.weights, self.x0)
+        return outs
+
+    # ------------------------------------------------------------------
+    # aggregation (scatter -> premerge/OGA -> halo exchange -> gather)
+    # ------------------------------------------------------------------
+    def _aggregate(self, comm, arr: _PlanArrays, h: jnp.ndarray,
+                   dest_scale) -> jnp.ndarray:
+        plan = self.plan
+        V, M, P = plan.V, plan.M, plan.num_parties
+        D = h.shape[-1]
+
+        # local slots: gather rows, mask dummies, segment-sum by local dst
+        lvals = _take_rows(h, arr.loc_src)
+        lvals = jnp.where(arr.loc_valid[..., None], lvals, 0)
+        loc_upd = jax.vmap(
+            lambda v, s: segment_sum_rows(v, s, V + 1))(lvals, arr.loc_seg
+                                                        )[:, :V]
+
+        # remote slots: segment-sum into per-destination-party mirror rows
+        rvals = _take_rows(h, arr.rem_src)
+        rvals = jnp.where(arr.rem_valid[..., None], rvals, 0)
+        send = jax.vmap(
+            lambda v, s: segment_sum_rows(v, s, P * M + 1))(rvals, arr.rem_seg
+                                                            )[:, :P * M]
+        send = send.reshape(-1, P, M, D)
+
+        # halo exchange over ICI (the reference's mirror-update shipping,
+        # ss_…h:1089-1100)
+        recv = comm.halo(send)  # [Pl, P, M, D]; [:, i] = rows from party i
+
+        # scatter received mirror rows into local vertex order
+        def scatter_one(rows, tgt, mask):
+            tgt = jnp.where(mask, tgt, V)
+            return jnp.zeros((V + 1, D), h.dtype).at[tgt].add(
+                jnp.where(mask[:, None], rows, 0))[:V]
+
+        rem_upd = jax.vmap(jax.vmap(scatter_one))(
+            recv, arr.recv_target, arr.recv_mask)  # [Pl, P, V, D]
+
+        # gather: base vertex value + masked per-peer updates
+        # (twoPartyGCNCondVectorAddition, gcn.h:456-463)
+        agg = h + jnp.where(arr.gather_ok_self[..., None], loc_upd, 0)
+        agg = agg + jnp.sum(
+            jnp.where(arr.gather_ok_from[..., None], rem_upd, 0), axis=1)
+
+        # deferred destination-side scale (gcn.h:470-484)
+        agg = jnp.where(dest_scale, agg * norm0(arr.in_deg)[..., None], agg)
+        return agg
+
+    # ------------------------------------------------------------------
+    def _metrics(self, arr: _PlanArrays, prob: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        V = self.plan.V
+        pos = jnp.arange(V)[None, :]
+        valid = arr.vertex_mask
+        train = valid & (pos < arr.train_n[:, None])
+        test = valid & (pos >= (arr.train_n + arr.val_n)[:, None])
+        border = arr.border
+
+        y_hot = jax.nn.one_hot(arr.labels, prob.shape[-1], dtype=prob.dtype)
+        clamped = jnp.where(prob == 0.0, 0.001, prob)
+        loss_rows = -jnp.sum(y_hot * jnp.log(clamped), axis=-1)
+        loss = jnp.sum(jnp.where(valid, loss_rows, 0), -1) / arr.num_local
+
+        hit = (jnp.argmax(prob, -1) == arr.labels)
+
+        def acc(mask):
+            n = jnp.sum(mask, -1)
+            return jnp.where(n > 0, jnp.sum(hit & mask, -1) / jnp.maximum(n, 1), 0.0)
+
+        return {
+            "loss": loss,
+            "full_acc": acc(valid),
+            "train_acc": acc(train),
+            "border_train_acc": acc(train & border),
+            "test_acc": acc(test),
+            "border_test_acc": acc(test & border),
+            "num_border": jnp.sum(valid & border, -1),
+        }
+
+    # ------------------------------------------------------------------
+    def _predict_apply(self, arr, h):
+        """Prediction-layer Apply: softmax, metrics, masked p - y
+        (gcn.h:557-643)."""
+        prob = jax.nn.softmax(h, axis=-1)
+        metrics = self._metrics(arr, prob)
+        y_hot = jax.nn.one_hot(arr.labels, h.shape[-1], dtype=h.dtype)
+        pm = prob - y_hot
+        pos = jnp.arange(self.plan.V)[None, :]
+        train = arr.vertex_mask & (pos < arr.train_n[:, None])
+        pm = jnp.where(train[..., None], pm, 0)
+        return pm, metrics
+
+    # ------------------------------------------------------------------
+    def _forward_body(self, comm, arr: _PlanArrays, weights, x0):
+        """Inference: L forward phases; returns (logits, prob, metrics)."""
+        h = x0
+        n0 = norm0(arr.in_deg)[..., None]
+        for l in range(self.L):
+            if self.variant == "unopt":
+                if l != 0:
+                    h = h * n0
+                h = self._aggregate(comm, arr, h, dest_scale=True)
+                z = jnp.einsum("pvd,pde->pve", h, weights[l])
+            else:
+                h = jnp.einsum("pvd,pde->pve", h, weights[l])
+                if l != 0:
+                    h = h * n0
+                z = self._aggregate(comm, arr, h, dest_scale=True)
+            h = jax.nn.relu(z) if l != self.L - 1 else z
+        prob = jax.nn.softmax(h, axis=-1)
+        return h, prob, self._metrics(arr, prob)
+
+    # ------------------------------------------------------------------
+    def _epoch_body(self, comm, arr: _PlanArrays, weights, x0):
+        """One full training epoch (3L or 2L phases) as straight-line code."""
+        if self.variant == "unopt":
+            return self._epoch_unopt(comm, arr, weights, x0)
+        return self._epoch_opt(comm, arr, weights, x0)
+
+    def _epoch_opt(self, comm, arr, weights, x0):
+        L = self.L
+        lr = self.dtype(self.param.learning_rate)
+        n0 = norm0(arr.in_deg)[..., None]
+        inv_train = (1.0 / arr.train_n.astype(self.dtype))[:, None, None]
+        weights = list(weights)
+        h = x0
+        h_in: List[jnp.ndarray] = [None] * L
+        z: List[jnp.ndarray] = [None] * L
+        metrics = None
+
+        # forward phases 0..L-1 (PreScatter matmul + deferred scaling)
+        for l in range(L):
+            h_in[l] = h
+            h = jnp.einsum("pvd,pde->pve", h, weights[l])
+            if l != 0:
+                h = h * n0  # source-side scale skipped on phase 0
+            h = self._aggregate(comm, arr, h, dest_scale=True)
+            z[l] = h
+            if l != L - 1:
+                h = jax.nn.relu(h)
+            else:
+                h, metrics = self._predict_apply(arr, h)
+
+        # backward: layers L-1..0, two phases each
+        for k, l in enumerate(reversed(range(L))):
+            phase = L + 2 * k  # first-of-two phase index
+            # Apply-only phase (ss_…h:709-732)
+            if l == L - 1:
+                g = jnp.einsum("pve,pde->pvd", h, weights[l])  # delta @ W^T
+            else:
+                h = h * (z[l] > 0)  # BackwardNNWithoutAH relu' mask
+                g = jnp.einsum("pve,pde->pvd", h, weights[l])
+            # aggregation phase
+            hs = h * n0
+            last_phase = (phase + 2) == 3 * L
+            agg = self._aggregate(comm, arr, hs, dest_scale=not last_phase)
+            d = jnp.einsum("pvd,pve->pde", h_in[l], agg) * inv_train
+            weights[l] = weights[l] - lr * d
+            weights[l] = comm.weight_mean(weights[l])
+            h = g
+        return weights, metrics
+
+    def _epoch_unopt(self, comm, arr, weights, x0):
+        L = self.L
+        lr = self.dtype(self.param.learning_rate)
+        n0 = norm0(arr.in_deg)[..., None]
+        inv_train = (1.0 / arr.train_n.astype(self.dtype))[:, None, None]
+        weights = list(weights)
+        h = x0
+        ah: List[jnp.ndarray] = [None] * L
+        z: List[jnp.ndarray] = [None] * L
+        metrics = None
+
+        for l in range(L):
+            if l != 0:
+                h = h * n0
+            h = self._aggregate(comm, arr, h, dest_scale=True)
+            ah[l] = h
+            zz = jnp.einsum("pvd,pde->pve", h, weights[l])
+            z[l] = zz
+            if l != L - 1:
+                h = jax.nn.relu(zz)
+            else:
+                h, metrics = self._predict_apply(arr, zz)
+
+        for k, l in enumerate(reversed(range(L))):
+            phase = L + k
+            if l != L - 1:
+                # aggregated g arrives through the GAS phase below
+                h = h * (z[l] > 0)
+            g = jnp.einsum("pve,pde->pvd", h, weights[l])
+            d = jnp.einsum("pvd,pve->pde", ah[l], h) * inv_train
+            weights[l] = weights[l] - lr * d
+            weights[l] = comm.weight_mean(weights[l])
+            h = g
+            if l > 0:  # GAS aggregation between backward layers
+                h = h * n0
+                last_phase = (phase + 2) == 2 * L
+                h = self._aggregate(comm, arr, h,
+                                    dest_scale=not last_phase)
+        return weights, metrics
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def run_epoch(self):
+        self.weights, metrics = self._epoch(self.arr, self.weights, self.x0)
+        return metrics
+
+    def run_epochs(self, n: int):
+        metrics = None
+        for _ in range(n):
+            metrics = self.run_epoch()
+        return metrics
+
+    @staticmethod
+    def metrics_host(metrics) -> Dict[str, np.ndarray]:
+        """Fetch a metrics dict to host numpy (sharded arrays included)."""
+        return {k: np.asarray(jax.device_get(v)) for k, v in metrics.items()}
+
+    def forward(self):
+        return self._forward(self.arr, self.weights, self.x0)

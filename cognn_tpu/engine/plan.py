@@ -1,0 +1,163 @@
+"""Device plan: PartyGraph(s) → static, padded, stacked jnp index arrays.
+
+This is the TPU-native replacement for the reference's oblivious-mapper
+preprocessing (`ss_vertex_centric_algo_kernel.h:279-613`): after partitioning,
+all gather/scatter/aggregation routes are data-independent, so they become
+fixed int32 index plans baked into the compiled program. Obliviousness-by-
+padding is preserved: shapes depend only on padded sizes, never on values.
+
+Layout (P parties stacked on a leading axis; every per-party dimension padded
+to the max over parties so the stack is rectangular and jit-able):
+
+  * ``V`` = max local vertex count; rows past a party's ``num_local`` are
+    invalid (``vertex_mask`` False) and forced to zero contribution.
+  * local aggregation: ``loc_src``/``loc_seg`` [P, E_loc] slots (segment =
+    local vertex index), padded slots route to a trash segment V.
+  * halo exchange: remote slots are segment-summed into a [P, P, M, D] send
+    buffer (dst-party major), exchanged along the party axis (indexing in
+    stacked mode, ``all_to_all`` in sharded mode), then scatter-added via
+    ``recv_target`` [P, P, M] into local order under ``recv_mask``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import numpy as np
+
+from cognn_tpu.graph.partition import PartyGraph
+
+
+def _pad_to(x: np.ndarray, n: int, fill) -> np.ndarray:
+    out = np.full((n, *x.shape[1:]), fill, dtype=x.dtype)
+    out[: len(x)] = x
+    return out
+
+
+def round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m if n > 0 else m
+
+
+@dataclasses.dataclass
+class DevicePlan:
+    """Static index plan for P stacked parties (numpy; moved to device lazily)."""
+
+    num_parties: int
+    V: int  # padded local vertex count (same for all parties)
+    E_loc: int  # padded local edge-slot count
+    M: int  # padded per-peer mirror count
+    num_local: np.ndarray  # int32[P] true local vertex counts
+    vertex_mask: np.ndarray  # bool[P, V]
+    in_deg: np.ndarray  # f32[P, V] global in-degree (0 on padding)
+    border: np.ndarray  # bool[P, V]
+    labels: np.ndarray  # int32[P, V]
+    train_n: np.ndarray  # int32[P]
+    val_n: np.ndarray  # int32[P]
+    # local aggregation slots
+    loc_src: np.ndarray  # int32[P, E_loc] source local index
+    loc_seg: np.ndarray  # int32[P, E_loc] segment (== V for trash)
+    loc_valid: np.ndarray  # bool[P, E_loc] real (non-dummy, non-pad) slot
+    # remote send: slots grouped by destination party
+    rem_src: np.ndarray  # int32[P, E_rem]
+    rem_seg: np.ndarray  # int32[P, E_rem] -> dst_party * M + mirror_idx
+    rem_valid: np.ndarray  # bool[P, E_rem]
+    # remote receive: mirror rows -> local vertex index
+    recv_target: np.ndarray  # int32[P, P, M]  [me, from_party, mirror]
+    recv_mask: np.ndarray  # bool[P, P, M]
+    # gather row masks (isGatherDstVertexDummy inverse), incl. self row i==j
+    gather_ok: np.ndarray  # bool[P, P, V]   [me, from_party, vertex]
+
+    features: np.ndarray = None  # f32[P, V, D] (pre-normalized at load)
+
+
+def build_device_plan(graphs: List[PartyGraph], *, lane: int = 8,
+                      feature_dtype=np.float32) -> DevicePlan:
+    """``lane`` rounds padded dims up (use >=8 on TPU for sublane alignment)."""
+    P = len(graphs)
+    V = round_up(max(g.num_local for g in graphs), lane)
+    E_loc = round_up(max(g.blocks[g.tile_index].num_slots for g in graphs),
+                     lane)
+    E_rem = round_up(max(
+        sum(b.num_slots for b in g.blocks if b.dst_tile != g.tile_index)
+        for g in graphs) or 1, lane)
+    M = round_up(max([1] + [
+        len(b.mirror_vids) for g in graphs for b in g.blocks
+        if b.mirror_vids is not None]), lane)
+
+    num_local = np.array([g.num_local for g in graphs], np.int32)
+    vertex_mask = np.zeros((P, V), bool)
+    in_deg = np.zeros((P, V), np.float32)
+    border = np.zeros((P, V), bool)
+    labels = np.zeros((P, V), np.int32)
+    loc_src = np.zeros((P, E_loc), np.int32)
+    loc_seg = np.full((P, E_loc), V, np.int32)
+    loc_valid = np.zeros((P, E_loc), bool)
+    rem_src = np.zeros((P, E_rem), np.int32)
+    rem_seg = np.full((P, E_rem), P * M, np.int32)
+    rem_valid = np.zeros((P, E_rem), bool)
+    recv_target = np.zeros((P, P, M), np.int32)
+    recv_mask = np.zeros((P, P, M), bool)
+    gather_ok = np.zeros((P, P, V), bool)
+    feats = None
+
+    for p, g in enumerate(graphs):
+        n = g.num_local
+        vertex_mask[p, :n] = True
+        in_deg[p, :n] = g.in_deg
+        border[p, :n] = g.border
+        if g.labels is not None:
+            labels[p, :n] = g.labels
+        if g.features is not None:
+            if feats is None:
+                D = g.features.shape[1]
+                feats = np.zeros((P, V, D), feature_dtype)
+            # load-time normalization (optimize-gcn/gcn.h:823-833)
+            feats[p, :n] = (g.features * np.power(
+                g.in_deg.astype(np.float64) + 1.0, -0.5)[:, None]
+            ).astype(feature_dtype)
+
+        lb = g.blocks[g.tile_index]
+        k = lb.num_slots
+        loc_src[p, :k] = lb.src_local
+        loc_seg[p, :k] = lb.seg_id
+        loc_valid[p, :k] = ~lb.dummy
+
+        off = 0
+        for b in g.blocks:
+            if b.dst_tile == g.tile_index:
+                continue
+            k = b.num_slots
+            rem_src[p, off:off + k] = b.src_local
+            rem_seg[p, off:off + k] = b.dst_tile * M + b.seg_id
+            rem_valid[p, off:off + k] = ~b.dummy
+            off += k
+
+        for i in range(P):
+            tgt = g.recv_target_local[i]
+            m = len(tgt)
+            if i == p:
+                # self row: always added (base value path handles it)
+                gather_ok[p, i, :n] = ~g.gather_dummy[i]
+                continue
+            recv_target[p, i, :m] = tgt
+            recv_mask[p, i, :m] = True
+            gather_ok[p, i, :n] = ~g.gather_dummy[i]
+
+    train_n = np.array([g.num_local for g in graphs], np.int32)  # placeholder
+    val_n = np.zeros(P, np.int32)
+    return DevicePlan(
+        num_parties=P, V=V, E_loc=E_loc, M=M,
+        num_local=num_local, vertex_mask=vertex_mask, in_deg=in_deg,
+        border=border, labels=labels, train_n=train_n, val_n=val_n,
+        loc_src=loc_src, loc_seg=loc_seg, loc_valid=loc_valid,
+        rem_src=rem_src, rem_seg=rem_seg, rem_valid=rem_valid,
+        recv_target=recv_target, recv_mask=recv_mask, gather_ok=gather_ok,
+        features=feats,
+    )
+
+
+def set_split(plan: DevicePlan, train_ratio: float, val_ratio: float) -> None:
+    """Positional split sizes per party (gcn.h:561-563 truncating casts)."""
+    plan.train_n = (plan.num_local * train_ratio).astype(np.int32)
+    plan.val_n = (plan.num_local * val_ratio).astype(np.int32)

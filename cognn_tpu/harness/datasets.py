@@ -1,0 +1,150 @@
+"""Dataset generation/loading.
+
+The reference's pipeline pulls Planetoid via torch_geometric and shuffles it
+(`tools/data_transform.py`); this environment has no network egress and no
+torch_geometric, so we provide:
+
+  * :func:`synthetic_planetoid` — deterministic synthetic graphs with the same
+    (n, m, f, c) statistics as Cora/CiteSeer/PubMed and label-homophilous
+    structure so GCN training behaves comparably;
+  * :func:`load_planetoid_raw` — loader for pre-downloaded PyG ``Planetoid``
+    raw files if a user drops them on disk;
+  * :func:`transform` — the reference's file-format writer (vertex/edge/part
+    files, `tools/data_transform.py:19-65`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, Tuple
+
+import numpy as np
+
+from cognn_tpu.config import GNNParam
+
+# (num_samples, num_directed_edges, input_dim, num_labels, lr, train/val/test)
+DATASET_STATS: Dict[str, tuple] = {
+    "cora": (2708, 10556, 1433, 7, 0.5, (0.2, 0.2, 0.6)),
+    "citeseer": (3312, 10016, 3703, 6, 0.8, (0.2, 0.2, 0.6)),
+    "pubmed": (19717, 128146, 500, 3, 8.0, (0.05, 0.15, 0.8)),
+    "cora_small": (64, 256, 16, 3, 0.5, (0.2, 0.2, 0.6)),
+}
+
+
+@dataclasses.dataclass
+class Dataset:
+    name: str
+    src: np.ndarray
+    dst: np.ndarray
+    features: np.ndarray
+    labels: np.ndarray
+    param: GNNParam
+
+
+def gnn_param_for(name: str, hidden_dim: int = 16,
+                  num_layers: int = 2) -> GNNParam:
+    n, m, f, c, lr, (tr, va, te) = DATASET_STATS[name]
+    return GNNParam(num_layers=num_layers, num_labels=c, input_dim=f,
+                    hidden_dim=hidden_dim, num_samples=n, num_edges=m,
+                    learning_rate=lr, train_ratio=tr, val_ratio=va,
+                    test_ratio=te)
+
+
+def synthetic_planetoid(name: str, seed: int = 0,
+                        homophily: float = 0.85) -> Dataset:
+    """Synthetic dataset with the named Planetoid's statistics."""
+    n, m, f, c, lr, _ = DATASET_STATS[name]
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, c, n)
+    # sample undirected edges with label homophily
+    target_pairs = m // 2
+    src_list, dst_list = [], []
+    seen = set()
+    trials = 0
+    # src_list counts directed edges (2 per accepted pair)
+    while len(src_list) < 2 * target_pairs and trials < 100 * target_pairs:
+        trials += 1
+        u = int(rng.integers(0, n))
+        if rng.random() < homophily:
+            # pick a same-label partner
+            v = int(rng.integers(0, n))
+            if labels[v] != labels[u]:
+                continue
+        else:
+            v = int(rng.integers(0, n))
+        if u == v or (u, v) in seen:
+            continue
+        seen.add((u, v))
+        seen.add((v, u))
+        src_list += [u, v]
+        dst_list += [v, u]
+    src = np.array(src_list, np.int64)
+    dst = np.array(dst_list, np.int64)
+    # sparse bag-of-words-like features with label signal
+    feats = (rng.random((n, f)) < 0.015).astype(np.float64)
+    sig = min(8, f)
+    block = (labels[:, None] * sig + np.arange(sig)[None, :]) % f
+    feats[np.arange(n)[:, None], block] += 1.0
+    return Dataset(name, src, dst, feats, labels, gnn_param_for(name))
+
+
+def load_planetoid_raw(root: str | Path, name: str) -> Dataset:
+    """Load pre-downloaded PyG Planetoid raw pickles (ind.<name>.* files)."""
+    import pickle
+    import sys
+
+    root = Path(root)
+    nm = name.lower()
+
+    def read(which):
+        p = root / f"ind.{nm}.{which}"
+        with open(p, "rb") as fh:
+            return pickle.load(fh, encoding="latin1")
+
+    x, tx, allx = read("x"), read("tx"), read("allx")
+    y, ty, ally = read("y"), read("ty"), read("ally")
+    graph = read("graph")
+    test_idx = np.loadtxt(root / f"ind.{nm}.test.index", dtype=np.int64)
+    test_sorted = np.sort(test_idx)
+
+    import scipy.sparse as sp  # type: ignore
+
+    feats = sp.vstack([allx, tx]).tolil()
+    feats[test_idx] = feats[test_sorted]
+    labels_oh = np.vstack([ally, ty])
+    labels_oh[test_idx] = labels_oh[test_sorted]
+    labels = labels_oh.argmax(1)
+    src, dst = [], []
+    for u, nbrs in graph.items():
+        for v in nbrs:
+            src.append(u)
+            dst.append(v)
+    return Dataset(name, np.array(src), np.array(dst),
+                   np.asarray(feats.todense()), labels, gnn_param_for(name))
+
+
+def transform(ds: Dataset, out_dir: str | Path, partitions=(2, 3, 4, 5),
+              shuffle_seed: int = 42) -> Path:
+    """Write the reference's preprocessed file formats
+    (`tools/data_transform.py:29-65`): shuffled vertex ids, vertex/edge files,
+    round-robin partition files."""
+    from cognn_tpu.graph import (write_edge_list, write_partition_file,
+                                 write_vertex_file)
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    n = len(ds.features)
+    rng = np.random.default_rng(shuffle_seed)
+    perm = rng.permutation(n)  # new id of old vertex i is inv[i]
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    name = ds.name.lower()
+    write_vertex_file(out / f"{name}.vertex.preprocessed", np.arange(n),
+                      ds.features[perm], ds.labels[perm])
+    write_edge_list(out / f"{name}.edge.preprocessed", inv[ds.src],
+                    inv[ds.dst])
+    for p in partitions:
+        write_partition_file(out / f"{name}.part.preprocessed.{p}p",
+                             {v: v % p for v in range(n)})
+    return out
