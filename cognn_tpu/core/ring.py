@@ -169,12 +169,18 @@ def ring_arith_shift_right(spec: RingSpec, a: Array, f: int) -> Array:
 
 
 def ring_to_f32(spec: RingSpec, a: Array, f: int) -> Array:
-    """Signed fixed-point ring value -> float32 (decode; lossy for >24 bits)."""
+    """Signed fixed-point ring value -> float32 (24-bit relative precision).
+
+    Uses a centered low limb (int32 reinterpret + carry into the high limb)
+    so small-magnitude values decode exactly instead of via catastrophic
+    cancellation of two ~2^32 float terms."""
     if spec.limbs == 1:
         return a.astype(jnp.int32).astype(jnp.float32) / np.float32(2.0**f)
-    signed_hi = a[1].astype(jnp.int32).astype(jnp.float32)
-    lo = a[0].astype(jnp.float32)
-    return (signed_hi * np.float32(2.0**32) + lo) / np.float32(2.0**f)
+    lo_signed = a[0].astype(jnp.int32)  # two's-complement reinterpret
+    carry = (lo_signed < 0).astype(jnp.int32)  # lo >= 2^31 borrowed 2^32
+    hi_adj = (a[1].astype(jnp.int32) + carry).astype(jnp.float32)
+    return (hi_adj * np.float32(2.0**32)
+            + lo_signed.astype(jnp.float32)) / np.float32(2.0**f)
 
 
 def ring_from_f32(spec: RingSpec, x: Array, f: int) -> Array:

@@ -151,6 +151,15 @@ class GasEngine:
         self.epoch_layers = (3 if variant.startswith("opt") else 2) * self.L
         self.P = plan.num_parties
         self.arr = _plan_arrays(plan, dtype)
+        # dense aggregation only in stacked mode (sharded keeps the sparse
+        # halo exchange, which ships M mirror rows instead of V); flatten
+        # [P,P,V,V] -> [(P V)src, (P V)dst] for one MXU matmul
+        if plan.dense_adj is not None and mode == "stacked":
+            P, V = plan.num_parties, plan.V
+            flat = plan.dense_adj.transpose(0, 2, 1, 3).reshape(P * V, P * V)
+            self._dense_adj = jnp.asarray(flat, dtype)
+        else:
+            self._dense_adj = None
         self.x0 = jnp.asarray(plan.features, dtype)
         dims = param.layer_dims
         # per-party weight replicas (reference keeps one per party and
@@ -203,6 +212,19 @@ class GasEngine:
         plan = self.plan
         V, M, P = plan.V, plan.M, plan.num_parties
         D = h.shape[-1]
+
+        if self._dense_adj is not None:
+            # Dense adjacency path: the whole scatter/premerge/halo/gather
+            # pipeline is ONE flat MXU matmul U = A^T H over the globally
+            # flattened (party, vertex) axis. Dummy/mask semantics are baked
+            # into A (only real slots set).
+            hf = h.reshape(-1, D)  # [P*V, D]
+            upd = jax.lax.dot_general(
+                self._dense_adj, hf, (((0,), (0,)), ((), ())),
+                preferred_element_type=h.dtype)  # A^T @ H
+            agg = h + upd.reshape(h.shape)
+            agg = agg * norm0(arr.in_deg)[..., None] if dest_scale else agg
+            return agg
 
         # local slots: gather rows, mask dummies, segment-sum by local dst
         lvals = _take_rows(h, arr.loc_src)

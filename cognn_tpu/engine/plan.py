@@ -22,7 +22,7 @@ to the max over parties so the stack is rectangular and jit-able):
 from __future__ import annotations
 
 import dataclasses
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -69,11 +69,21 @@ class DevicePlan:
     gather_ok: np.ndarray  # bool[P, P, V]   [me, from_party, vertex]
 
     features: np.ndarray = None  # f32[P, V, D] (pre-normalized at load)
+    # Dense aggregation operator (small graphs): A[i, j, u, w] = 1 iff party i
+    # has a real edge u(local of i) -> w(local of j). U_j = sum_i A[i,j]^T H_i
+    # runs entirely on the MXU — the fast path when P^2 V^2 fits memory.
+    dense_adj: np.ndarray = None  # f32[P, P, V, V] or None
+
+
+DENSE_ADJ_BUDGET = 1 << 28  # elements (1 GiB f32): dense-A auto-select cap
 
 
 def build_device_plan(graphs: List[PartyGraph], *, lane: int = 8,
-                      feature_dtype=np.float32) -> DevicePlan:
-    """``lane`` rounds padded dims up (use >=8 on TPU for sublane alignment)."""
+                      feature_dtype=np.float32,
+                      dense: Optional[bool] = None) -> DevicePlan:
+    """``lane`` rounds padded dims up (use >=8 on TPU for sublane alignment).
+
+    ``dense``: build the dense blocked adjacency (None = auto by size)."""
     P = len(graphs)
     V = round_up(max(g.num_local for g in graphs), lane)
     E_loc = round_up(max(g.blocks[g.tile_index].num_slots for g in graphs),
@@ -144,6 +154,26 @@ def build_device_plan(graphs: List[PartyGraph], *, lane: int = 8,
             recv_mask[p, i, :m] = True
             gather_ok[p, i, :n] = ~g.gather_dummy[i]
 
+    if dense is None:
+        # opt-in: the dense operator wins only when aggregate sizes are large
+        # enough that the sparse gather dominates, yet small enough to fit —
+        # and it costs ~1 min of extra XLA compile time. Keep it explicit.
+        dense = False
+    if dense and P * P * V * V > DENSE_ADJ_BUDGET:
+        raise ValueError("dense adjacency exceeds budget; use dense=False")
+    dense_adj = None
+    if dense:
+        dense_adj = np.zeros((P, P, V, V), np.float32)
+        for i, g in enumerate(graphs):
+            for b in g.blocks:
+                j = b.dst_tile
+                real = ~b.dummy
+                if j == i:
+                    w = b.seg_id[real]
+                else:
+                    w = graphs[j].recv_target_local[i][b.seg_id[real]]
+                np.add.at(dense_adj[i, j], (b.src_local[real], w), 1.0)
+
     train_n = np.array([g.num_local for g in graphs], np.int32)  # placeholder
     val_n = np.zeros(P, np.int32)
     return DevicePlan(
@@ -153,7 +183,7 @@ def build_device_plan(graphs: List[PartyGraph], *, lane: int = 8,
         loc_src=loc_src, loc_seg=loc_seg, loc_valid=loc_valid,
         rem_src=rem_src, rem_seg=rem_seg, rem_valid=rem_valid,
         recv_target=recv_target, recv_mask=recv_mask, gather_ok=gather_ok,
-        features=feats,
+        features=feats, dense_adj=dense_adj,
     )
 
 

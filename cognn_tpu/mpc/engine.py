@@ -1,0 +1,306 @@
+"""Secret-shared GAS engine — the CoGNN capability proper, TPU-native.
+
+Runs the same CoGNN-Opt / inference schedules as `cognn_tpu.engine.gas`, but
+with every vertex embedding and weight an additive share pair in Z_{2^64}
+fixed point (`cognn_tpu.mpc.protocol`). The structure mirrors the reference's
+secret-shared iteration (`ss_vertex_centric_algo_kernel.h:680-910` +
+`optimize-gcn/gcn.h`):
+
+  * PreScatter: shared matmul H·W (exact mod-2^64 MXU kernel) + public
+    normalizer scale with truncation
+  * Scatter/OGA: share-space gather + carry-free segment aggregation
+    (linear — never reconstructs, like the prefix-network ADD)
+  * halo exchange: share rows shipped between parties (stacked transpose;
+    collective in sharded mode — future)
+  * Gather: conditional share addition under the public dummy masks
+  * Apply: ReLU via sign-mask multiply; prediction via reconstruct-softmax;
+    backward matmuls + gradient scale + SGD on weight shares; cross-party
+    weight-share averaging
+
+State layout: uint32[2(share), L(limb), P(party), ...].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cognn_tpu.config import GNNParam
+from cognn_tpu.core.fixedpoint import FixedPointSpec
+from cognn_tpu.core.ring import ring_add
+from cognn_tpu.engine.gas import GasEngine, _PlanArrays, _plan_arrays, norm0
+from cognn_tpu.engine.plan import DevicePlan, set_split
+from cognn_tpu.mpc.protocol import Protocol
+from cognn_tpu.utils.glibc_rand import glorot_init
+
+_U32 = jnp.uint32
+
+
+def _segment_sum_shares(sh: jnp.ndarray, seg: jnp.ndarray,
+                        num_segments: int) -> jnp.ndarray:
+    """Exact mod-2^64 segment sum of share rows, carry-free on TPU.
+
+    sh: uint32[2, L, E, D]; decomposes each 32-bit limb into two 16-bit
+    planes, segment-sums the planes in int32 (exact while max segment size
+    < 2^15), then recombines with carry propagation. This is the OGA
+    (SecureAggregation prefix-network ADD) replacement for share payloads.
+    """
+    S, L, E, D = sh.shape
+    out = None
+    for s in range(S):
+        acc = None
+        for l in range(L):
+            word = sh[s, l]
+            for p_i, plane in enumerate((word & _U32(0xFFFF),
+                                         word >> _U32(16))):
+                psum = jax.ops.segment_sum(
+                    plane.astype(jnp.int32), seg, num_segments=num_segments,
+                    indices_are_sorted=True)  # < 2^31
+                weight = 32 * l + 16 * p_i
+                term = _shift64_u32(psum.astype(_U32), weight, L)
+                acc = term if acc is None else ring_add(
+                    _spec_for(L), acc, term)
+        out = acc[None] if out is None else jnp.concatenate([out, acc[None]])
+    return out
+
+
+def _spec_for(L):
+    from cognn_tpu.core.ring import RING32, RING64
+
+    return RING64 if L == 2 else RING32
+
+
+def _shift64_u32(p: jnp.ndarray, s: int, L: int) -> jnp.ndarray:
+    """uint32 value -> ring limbs of (p << s) mod 2^(32L)."""
+    if L == 1:
+        return (p << _U32(s))[None] if s else p[None]
+    if s == 0:
+        return jnp.stack([p, jnp.zeros_like(p)])
+    if s < 32:
+        return jnp.stack([p << _U32(s), p >> _U32(32 - s)])
+    return jnp.stack([jnp.zeros_like(p), p << _U32(s - 32)])
+
+
+class MpcGasEngine:
+    """Stacked-mode secret-shared GAS engine (variants: opt, opt_inference)."""
+
+    def __init__(self, plan: DevicePlan, param: GNNParam,
+                 variant: str = "opt",
+                 fp: FixedPointSpec | None = None,
+                 truncation: str = "exact", seed: int = 42,
+                 prng_seed: int = 0):
+        if variant not in ("opt", "opt_inference"):
+            raise ValueError("mpc engine supports opt/opt_inference")
+        set_split(plan, param.train_ratio, param.val_ratio)
+        self.plan = plan
+        self.param = param
+        self.variant = variant
+        self.proto = Protocol(fp or FixedPointSpec(), truncation)
+        self.L = param.num_layers
+        self.P = plan.num_parties
+        self.epoch_layers = 3 * self.L
+        self.arr = _plan_arrays(plan, jnp.float32)
+        self._key = jax.random.key(prng_seed)
+
+        # share the pre-normalized features and Glorot weights
+        self._key, k1 = jax.random.split(self._key)
+        self.x0_sh = self.proto.share(k1, jnp.asarray(plan.features,
+                                                      jnp.float32))
+        dims = param.layer_dims
+        self.weights_sh: List[jnp.ndarray] = []
+        for i in range(self.L):
+            self._key, k = jax.random.split(self._key)
+            w = jnp.broadcast_to(
+                jnp.asarray(glorot_init(dims[i], dims[i + 1], seed),
+                            jnp.float32),
+                (self.P, dims[i], dims[i + 1]))
+            self.weights_sh.append(self.proto.share(k, w))
+
+        # public fixed-point normalizer vectors (norm0 quirk preserved)
+        n0 = norm0(jnp.asarray(plan.in_deg, jnp.float32))
+        self.n0_fp = self.proto.encode_public(n0)  # [L, P, V]
+        # per-party gradient scale 1/trainSetSize (gcn.h:667-676)
+        self.inv_train_fp = self.proto.encode_public(
+            1.0 / jnp.asarray(plan.train_n, jnp.float32))  # [L, P]
+
+        self._epoch = jax.jit(self._epoch_body)
+        self._forward = jax.jit(self._forward_body)
+
+    # ------------------------------------------------------------------
+    def _pmatmul(self, key, a_sh, b_sh):
+        """Per-party shared matmul: a [2,L,P,N,K] @ b [2,L,P,K,M]."""
+        keys = jax.random.split(key, self.P)
+        return jax.vmap(self.proto.matmul, in_axes=(0, 2, 2), out_axes=2)(
+            keys, a_sh, b_sh)
+
+    def _scale_rows(self, key, sh, scalars_fp):
+        """sh [2,L,P,V,D] * public fp scalars [L,P,V] (broadcast over D)."""
+        return self.proto.scale_rows(key, sh, scalars_fp[..., None])
+
+    # ------------------------------------------------------------------
+    def _aggregate(self, key, sh, dest_scale: bool):
+        """Share-space Â application (scatter -> OGA -> halo -> gather)."""
+        arr, plan = self.arr, self.plan
+        V, M, P = plan.V, plan.M, plan.num_parties
+        D = sh.shape[-1]
+
+        def take(h_p, idx_p):  # h [2,L,V,D] idx [E] -> [2,L,E,D]
+            return h_p[:, :, idx_p]
+
+        # local slots
+        lvals = jax.vmap(take, in_axes=(2, 0), out_axes=2)(sh, arr.loc_src)
+        lvals = lvals * arr.loc_valid.astype(_U32)[None, None, :, :, None]
+        loc_upd = jax.vmap(
+            lambda v, s: _segment_sum_shares(v, s, V + 1),
+            in_axes=(2, 0), out_axes=2)(lvals, arr.loc_seg)[:, :, :, :V]
+
+        # remote slots -> per-destination-party mirror rows
+        rvals = jax.vmap(take, in_axes=(2, 0), out_axes=2)(sh, arr.rem_src)
+        rvals = rvals * arr.rem_valid.astype(_U32)[None, None, :, :, None]
+        send = jax.vmap(
+            lambda v, s: _segment_sum_shares(v, s, P * M + 1),
+            in_axes=(2, 0), out_axes=2)(rvals, arr.rem_seg)[:, :, :, :P * M]
+        send = send.reshape(*send.shape[:2], P, P, M, D)
+
+        # halo exchange (stacked): recv[:, :, me, i] = send[:, :, i, me]
+        recv = jnp.swapaxes(send, 2, 3)
+
+        # scatter mirror rows into local order (unique targets per pair ->
+        # no accumulation, raw u32 scatter is exact)
+        def scatter_one(rows, tgt, mask):  # rows [2,L,M,D]
+            tgt = jnp.where(mask, tgt, V)
+            base = jnp.zeros((2, rows.shape[1], V + 1, D), _U32)
+            rows = rows * mask.astype(_U32)[None, None, :, None]
+            return base.at[:, :, tgt].set(rows)[:, :, :V]
+
+        recv_r = jnp.moveaxis(recv, (2, 3), (0, 1))  # [P, Pfrom, 2, L, M, D]
+        rem_upd = jax.vmap(jax.vmap(scatter_one))(
+            recv_r, arr.recv_target, arr.recv_mask)  # [P, Pfrom, 2, L, V, D]
+        rem_upd = jnp.moveaxis(rem_upd, (0, 1), (2, 3))  # [2, L, P, Pfrom, V, D]
+
+        # gather: base + masked adds (cond-vector-addition on shares)
+        agg = self.proto.add(
+            sh,
+            loc_upd * arr.gather_ok_self.astype(_U32)[None, None, :, :, None])
+        for i in range(P):
+            upd_i = rem_upd[:, :, :, i]
+            upd_i = upd_i * arr.gather_ok_from[:, i].astype(_U32)[
+                None, None, :, :, None]
+            agg = self.proto.add(agg, upd_i)
+
+        if dest_scale:
+            key, k = jax.random.split(key)
+            agg = self._scale_rows(k, agg, self.n0_fp)
+        return agg
+
+    # ------------------------------------------------------------------
+    def _predict_apply(self, key, z_sh):
+        arr = self.arr
+        y_hot = jax.nn.one_hot(arr.labels, self.param.layer_dims[-1],
+                               dtype=jnp.float32)
+        prob, pm_sh = self.proto.softmax_pred(key, z_sh, y_hot)
+        # zero gradients outside the local train slice (gcn.h:636-641)
+        pos = jnp.arange(self.plan.V)[None, :]
+        train = arr.vertex_mask & (pos < arr.train_n[:, None])
+        pm_sh = self.proto.mask_mul(pm_sh, train[..., None])
+        helper = GasEngine._metrics
+        metrics = helper(self, arr, prob)  # reuse the plaintext metric defs
+        return pm_sh, metrics
+
+    # ------------------------------------------------------------------
+    def _forward_body(self, key, weights_sh, x0_sh):
+        h = x0_sh
+        z_last = None
+        for l in range(self.L):
+            key, k1, k2 = jax.random.split(key, 3)
+            h = self._pmatmul(k1, h, weights_sh[l])
+            if l != 0:
+                h = self._scale_rows(k2, h, self.n0_fp)
+            key, k3 = jax.random.split(key)
+            h = self._aggregate(k3, h, dest_scale=True)
+            z_last = h
+            if l != self.L - 1:
+                h = self.proto.relu(h)
+        prob = jax.nn.softmax(self.proto.reveal(z_last), axis=-1)
+        metrics = GasEngine._metrics(self, self.arr, prob)
+        return self.proto.reveal(z_last), prob, metrics
+
+    # ------------------------------------------------------------------
+    def _epoch_body(self, key, weights_sh, x0_sh):
+        L, P = self.L, self.P
+        proto = self.proto
+        weights_sh = list(weights_sh)
+        h = x0_sh
+        h_in: List[jnp.ndarray] = [None] * L
+        z_mask: List[jnp.ndarray] = [None] * L
+        metrics = None
+
+        for l in range(L):
+            h_in[l] = h
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            h = self._pmatmul(k1, h, weights_sh[l])
+            if l != 0:
+                h = self._scale_rows(k2, h, self.n0_fp)
+            h = self._aggregate(k3, h, dest_scale=True)
+            if l != L - 1:
+                z_mask[l] = proto.sign_mask(h)
+                h = proto.mask_mul(h, z_mask[l])
+            else:
+                key, k4 = jax.random.split(key)
+                h, metrics = self._predict_apply(k4, h)
+
+        for kk, l in enumerate(reversed(range(L))):
+            key, k1, k2, k3, k4, k5, k6 = jax.random.split(key, 7)
+            wT = jnp.swapaxes(weights_sh[l], -1, -2)
+            if l != L - 1:
+                h = proto.mask_mul(h, z_mask[l])
+            g = self._pmatmul(k1, h, wT)
+            hs = self._scale_rows(k2, h, self.n0_fp)
+            last_phase = (L + 2 * kk + 2) == 3 * L
+            agg = self._aggregate(k3, hs, dest_scale=not last_phase)
+            hT = jnp.swapaxes(h_in[l], -1, -2)
+            d = self._pmatmul(k4, hT, agg)
+            # per-party gradient scale 1/train_n then SGD (gcn.h:667-678)
+            d = proto.scale_rows(k5, d, self.inv_train_fp[..., None, None])
+            step = proto.scale_const(k6, d, float(self.param.learning_rate))
+            weights_sh[l] = proto.sub(weights_sh[l], step)
+            weights_sh[l] = self._weight_mean(key, weights_sh[l])
+            h = g
+        return weights_sh, metrics
+
+    def _weight_mean(self, key, w_sh):
+        """Cross-party share-sum + public 1/P scale (gcn.h:747-802)."""
+        if self.P == 1:
+            return w_sh
+        total = w_sh[:, :, 0]
+        for p in range(1, self.P):
+            total = self.proto.add(total, w_sh[:, :, p])
+        key, k = jax.random.split(key)
+        mean = self.proto.scale_const(k, total[:, :, None],
+                                      1.0 / self.P)
+        return jnp.broadcast_to(mean, w_sh.shape)
+
+    # ------------------------------------------------------------------
+    def run_epoch(self):
+        self._key, k = jax.random.split(self._key)
+        self.weights_sh, metrics = self._epoch(k, self.weights_sh, self.x0_sh)
+        return metrics
+
+    def run_epochs(self, n: int):
+        metrics = None
+        for _ in range(n):
+            metrics = self.run_epoch()
+        return metrics
+
+    def forward(self):
+        self._key, k = jax.random.split(self._key)
+        return self._forward(k, self.weights_sh, self.x0_sh)
+
+    def reveal_weights(self) -> List[np.ndarray]:
+        return [np.asarray(self.proto.reveal(w)) for w in self.weights_sh]
+
+    metrics_host = staticmethod(GasEngine.metrics_host)

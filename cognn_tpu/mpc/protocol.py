@@ -1,0 +1,172 @@
+"""Secret-shared fixed-point tensor protocol — the TPU-native 2PC layer.
+
+Replaces the reference's external SCI-SilentOT surface (SURVEY.md §2.3
+"SCIHarness": ``twoPartyGCNMatMul/VectorScale/CondVectorAddition/Relu/
+ForwardNNPredictionWithoutWeight/MatrixScale/ApplyGradient/BackwardNN*``) with
+vectorized integer kernels over additive shares in Z_{2^64}.
+
+Representation: a share tensor is ``uint32[2, L, *dims]`` — axis 0 is the
+share index (party/delegate pair), axis 1 the 32-bit limb (L = ring_bits/32).
+All LINEAR ops (add, conditional add, segment aggregation, halo shipping)
+act sharewise and never reconstruct — exactly the algebra the reference's OGA
+and cond-add use. Multiplicative ops (matmul by shared weights, fixed-point
+scaling) reconstruct INSIDE the compiled program, compute with the exact
+mod-2^64 MXU kernel (`cognn_tpu.ops.intmatmul`), truncate, and re-share with
+fresh PRNG randomness — mathematically identical to the reference's
+Beaver-triple 2PC results with faithful truncation. Nonlinear ops (ReLU sign,
+softmax) reconstruct-and-mask, as SURVEY.md §7.3 sanctions for the TPU threat
+model (obliviousness-by-padding retained; cryptographic 2-party separation
+replaced by the mesh's physical co-location).
+
+A ``truncation="probabilistic"`` mode matches the cheaper local-truncation
+protocol (SecureML-style): shares are shifted locally, admitting the
+well-known off-by-one / wrap error with probability ~|x|/2^(bits-f).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cognn_tpu.core.fixedpoint import FixedPointSpec
+from cognn_tpu.core.ring import (
+    RING64,
+    RingSpec,
+    ring_add,
+    ring_arith_shift_right,
+    ring_from_f32,
+    ring_mul,
+    ring_neg,
+    ring_sub,
+    ring_to_f32,
+)
+from cognn_tpu.ops.intmatmul import ring_matmul
+
+_U32 = jnp.uint32
+
+
+@dataclasses.dataclass
+class Protocol:
+    """Stateless op collection bound to a fixed-point spec."""
+
+    fp: FixedPointSpec = dataclasses.field(default_factory=FixedPointSpec)
+    truncation: str = "exact"  # "exact" | "probabilistic"
+
+    @property
+    def ring(self) -> RingSpec:
+        return self.fp.ring
+
+    @property
+    def f(self) -> int:
+        return self.fp.frac_bits
+
+    # -- share creation / reconstruction (device side) ------------------
+    def share(self, key: jax.Array, x_f32: jnp.ndarray) -> jnp.ndarray:
+        """float32 -> uint32[2, L, ...] share tensor."""
+        enc = ring_from_f32(self.ring, x_f32, self.f)
+        r = jax.random.bits(key, shape=enc.shape, dtype=_U32)
+        return jnp.stack([r, ring_sub(self.ring, enc, r)])
+
+    def reshare(self, key: jax.Array, ring_val: jnp.ndarray) -> jnp.ndarray:
+        r = jax.random.bits(key, shape=ring_val.shape, dtype=_U32)
+        return jnp.stack([r, ring_sub(self.ring, ring_val, r)])
+
+    def reconstruct_ring(self, sh: jnp.ndarray) -> jnp.ndarray:
+        return ring_add(self.ring, sh[0], sh[1])
+
+    def reveal(self, sh: jnp.ndarray) -> jnp.ndarray:
+        """-> float32 plaintext (sci::getPlainShareVecVec equivalent)."""
+        return ring_to_f32(self.ring, self.reconstruct_ring(sh), self.f)
+
+    # -- linear ops (sharewise; never reconstruct) ----------------------
+    def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return jax.vmap(lambda x, y: ring_add(self.ring, x, y))(a, b)
+
+    def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return jax.vmap(lambda x, y: ring_sub(self.ring, x, y))(a, b)
+
+    def zeros(self, shape) -> jnp.ndarray:
+        return jnp.zeros((2, self.ring.limbs, *shape), _U32)
+
+    def mask_mul(self, sh: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """Multiply by a public 0/1 mask (broadcast over share/limb axes) —
+        the conditional in twoPartyGCNCondVectorAddition (gcn.h:456-463)."""
+        return sh * mask.astype(_U32)[None, None]
+
+    # -- truncation -----------------------------------------------------
+    def _trunc_ring(self, key: jax.Array, val: jnp.ndarray,
+                    shift: int) -> jnp.ndarray:
+        t = ring_arith_shift_right(self.ring, val, shift)
+        return self.reshare(key, t)
+
+    def trunc(self, key: jax.Array, sh: jnp.ndarray,
+              shift: int | None = None) -> jnp.ndarray:
+        shift = self.f if shift is None else shift
+        if self.truncation == "probabilistic":
+            s0 = ring_arith_shift_right(self.ring, sh[0], shift)
+            s1 = ring_neg(self.ring, ring_arith_shift_right(
+                self.ring, ring_neg(self.ring, sh[1]), shift))
+            return jnp.stack([s0, s1])
+        return self._trunc_ring(key, self.reconstruct_ring(sh), shift)
+
+    # -- multiplicative ops ---------------------------------------------
+    def matmul(self, key: jax.Array, a_sh: jnp.ndarray,
+               b_sh: jnp.ndarray) -> jnp.ndarray:
+        """Shared [N,K] @ shared [K,M] -> shared [N,M], f-bit scale
+        (sci::twoPartyGCNMatMul equivalent)."""
+        a = self.reconstruct_ring(a_sh)
+        b = self.reconstruct_ring(b_sh)
+        prod = ring_matmul(a, b, bits=self.ring.bits)  # 2f scale
+        return self._trunc_ring(key, prod, self.f)
+
+    def scale_rows(self, key: jax.Array, sh: jnp.ndarray,
+                   scalars_fp: jnp.ndarray) -> jnp.ndarray:
+        """Row-wise multiply by public fixed-point scalars [..., 1 broadcast]
+        (sci::twoPartyGCNVectorScale equivalent; scalars_fp is uint32[L,...]
+        broadcastable against the value dims)."""
+        prod = jax.vmap(lambda s: ring_mul(self.ring, s, scalars_fp))(sh)
+        return self.trunc(key, prod)
+
+    def scale_const(self, key: jax.Array, sh: jnp.ndarray,
+                    c: float) -> jnp.ndarray:
+        """Multiply by a public float constant via its fixed-point encoding
+        (sci::twoPartyGCNMatrixScale: c encoded as uint64(c * 2^f))."""
+        enc = int(np.uint64(np.int64(np.trunc(c * self.fp.scale))))
+        from cognn_tpu.core.ring import ring_mul_scalar
+
+        prod = jax.vmap(lambda s: ring_mul_scalar(self.ring, s, enc))(sh)
+        return self.trunc(key, prod)
+
+    # -- nonlinear ops (reconstruct-and-mask) ---------------------------
+    def sign_mask(self, sh: jnp.ndarray) -> jnp.ndarray:
+        """Public 0/1 mask of (x > 0) from the reconstructed sign bit."""
+        rec = self.reconstruct_ring(sh)
+        hi = rec[-1].astype(jnp.int32)
+        nonneg = hi >= 0
+        nonzero = jnp.logical_or(rec[0] != 0, rec[-1] != 0) if \
+            self.ring.limbs > 1 else rec[0] != 0
+        return jnp.logical_and(nonneg, nonzero)
+
+    def relu(self, sh: jnp.ndarray) -> jnp.ndarray:
+        """x * (x > 0) — mask multiply keeps shares linear, no truncation
+        (sci::twoPartyGCNRelu equivalent)."""
+        return self.mask_mul(sh, self.sign_mask(sh))
+
+    def softmax_pred(self, key: jax.Array, z_sh: jnp.ndarray,
+                     y_onehot: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(prob_f32, shares of p - y) — the prediction Apply
+        (sci::twoPartyGCNForwardNNPredictionWithoutWeight)."""
+        z = self.reveal(z_sh)
+        prob = jax.nn.softmax(z, axis=-1)
+        pm = prob - y_onehot.astype(prob.dtype)
+        return prob, self.share(key, pm)
+
+    # -- fixed-point encode helpers -------------------------------------
+    def encode_public(self, x_f32: jnp.ndarray) -> jnp.ndarray:
+        """float -> public ring fixed-point (for normalizer vectors)."""
+        return ring_from_f32(self.ring, x_f32, self.f)

@@ -1,0 +1,113 @@
+"""Exact integer matmul mod 2^64 / 2^32 on the MXU.
+
+The TPU-native replacement for SCI's 2PC fixed-point tensor matmul
+(``sci::twoPartyGCNMatMul``, reference call sites `optimize-gcn/gcn.h:233,
+665,671,710` — SURVEY.md §2.3 "SCIHarness"): secret-shared fixed-point values
+live in Z_{2^64}; the share-space product (X0+X1)·(W0+W1) reduces to ONE exact
+matmul mod 2^64 of ring elements, followed by truncation and re-sharing
+(`cognn_tpu.mpc`).
+
+TPUs have no 64-bit integer datapath, so we decompose each ring element into
+eight 8-bit limbs and compute the 36 limb-pair products with weight < 64 bits
+as int8 MXU dots (s8 x s8 -> s32). int8 holds [-128, 127], so limbs are
+offset by -128 and the products corrected with row/column sums (the standard
+quantization zero-point identity):
+
+    sum_k (a'+128)(b'+128) = sum a'b' + 128*rowsum(a') + 128*colsum(b')
+                             + 128^2 * K
+
+Safety: |corrected product| <= 255^2 * K, exact in int32 for K <= 32768;
+larger K is blocked.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cognn_tpu.core.ring import RingSpec, RING64, _add_carry
+
+_U32 = jnp.uint32
+_MAX_K = 32768
+
+
+def _to_limbs8(x_limbs32: jnp.ndarray, n8: int) -> jnp.ndarray:
+    """uint32 limb array [L32, ...] -> 8-bit limbs [n8, ...] (int32 0..255)."""
+    outs = []
+    for i in range(n8):
+        word = x_limbs32[i // 4]
+        sh = _U32(8 * (i % 4))
+        outs.append(((word >> sh) & _U32(0xFF)).astype(jnp.int32))
+    return jnp.stack(outs)
+
+
+def _shift64(p: jnp.ndarray, s: int) -> jnp.ndarray:
+    """uint32 value -> (lo, hi) of p << s (s in [0, 64))."""
+    p = p.astype(_U32)
+    if s == 0:
+        return jnp.stack([p, jnp.zeros_like(p)])
+    if s < 32:
+        return jnp.stack([p << _U32(s), p >> _U32(32 - s)])
+    return jnp.stack([jnp.zeros_like(p), p << _U32(s - 32)])
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def ring_matmul(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
+                bits: int = 64) -> jnp.ndarray:
+    """Exact A @ B mod 2^bits.
+
+    a_limbs: uint32 [L32, N, K]; b_limbs: uint32 [L32, K, M];
+    returns uint32 [L32, N, M]. L32 = bits // 32.
+    """
+    n8 = bits // 8
+    K = a_limbs.shape[-1]
+    A8 = _to_limbs8(a_limbs, n8)  # [n8, N, K] int32 in 0..255
+    B8 = _to_limbs8(b_limbs, n8)  # [n8, K, M]
+
+    nblocks = max(1, -(-K // _MAX_K))
+    acc = None
+    for blk in range(nblocks):
+        k0, k1 = blk * _MAX_K, min(K, (blk + 1) * _MAX_K)
+        Ka = k1 - k0
+        Ab = (A8[..., k0:k1] - 128).astype(jnp.int8)
+        Bb = (B8[:, k0:k1, :] - 128).astype(jnp.int8)
+        rs = jnp.sum(Ab.astype(jnp.int32), axis=-1)  # [n8, N]
+        cs = jnp.sum(Bb.astype(jnp.int32), axis=-2)  # [n8, M]
+        const = jnp.int32(128 * 128 * Ka)
+        for i in range(n8):
+            for j in range(n8 - i):
+                dot = jax.lax.dot_general(
+                    Ab[i], Bb[j], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                p = (dot + 128 * rs[i][:, None] + 128 * cs[j][None, :]
+                     + const)
+                contrib = _shift64(p, 8 * (i + j))  # (lo, hi) uint32
+                acc = contrib if acc is None else _ring_add2(acc, contrib)
+    if bits == 32:
+        return acc[:1]
+    return acc
+
+
+def _ring_add2(a, b):
+    lo, c = _add_carry(a[0], b[0])
+    return jnp.stack([lo, a[1] + b[1] + c])
+
+
+# ---------------------------------------------------------------------------
+# numpy oracle for tests
+# ---------------------------------------------------------------------------
+
+
+def ring_matmul_np(a_u64: np.ndarray, b_u64: np.ndarray,
+                   bits: int = 64) -> np.ndarray:
+    """Wrapping uint64 matmul (numpy does modular arithmetic natively)."""
+    with np.errstate(over="ignore"):
+        out = np.zeros((a_u64.shape[0], b_u64.shape[1]), np.uint64)
+        for k in range(a_u64.shape[1]):
+            out += a_u64[:, k][:, None] * b_u64[k][None, :]
+    if bits == 32:
+        out &= np.uint64(0xFFFFFFFF)
+    return out

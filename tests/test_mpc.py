@@ -1,0 +1,120 @@
+"""Secret-shared engine vs plaintext: the CoGNN parity contract.
+
+The reference's correctness claim is that secret-shared CoGNN-Opt training
+matches plaintext GCN (SURVEY.md §4.2). Here: MpcGasEngine (uint64 additive
+shares, fixed-point int kernels) must track the float64 oracle within
+fixed-point tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cognn_tpu.engine import GasEngine, build_device_plan
+from cognn_tpu.models.oracle import GasOracle
+from cognn_tpu.mpc import MpcGasEngine, Protocol
+from cognn_tpu.core.fixedpoint import FixedPointSpec
+
+from test_oracle import build_parties, make_dataset, make_param
+
+RNG = np.random.default_rng(21)
+
+
+class TestProtocol:
+    def test_share_reveal_roundtrip(self):
+        proto = Protocol()
+        x = jnp.asarray(RNG.uniform(-50, 50, (7, 5)), jnp.float32)
+        sh = proto.share(jax.random.key(0), x)
+        np.testing.assert_allclose(np.asarray(proto.reveal(sh)), np.asarray(x),
+                                   atol=2e-4)
+        # individual shares look uniform (no plaintext leakage in high limb)
+        assert len(np.unique(np.asarray(sh[0, 1]))) > 30
+
+    def test_linear_ops(self):
+        proto = Protocol()
+        k = jax.random.key(1)
+        x = jnp.asarray(RNG.uniform(-5, 5, (8, 4)), jnp.float32)
+        y = jnp.asarray(RNG.uniform(-5, 5, (8, 4)), jnp.float32)
+        sx = proto.share(jax.random.fold_in(k, 0), x)
+        sy = proto.share(jax.random.fold_in(k, 1), y)
+        np.testing.assert_allclose(np.asarray(proto.reveal(proto.add(sx, sy))),
+                                   np.asarray(x + y), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(proto.reveal(proto.sub(sx, sy))),
+                                   np.asarray(x - y), atol=5e-4)
+        mask = jnp.asarray(RNG.integers(0, 2, (8, 4)), bool)
+        np.testing.assert_allclose(
+            np.asarray(proto.reveal(proto.mask_mul(sx, mask))),
+            np.asarray(jnp.where(mask, x, 0)), atol=5e-4)
+
+    def test_matmul(self):
+        proto = Protocol()
+        k = jax.random.key(2)
+        a = jnp.asarray(RNG.uniform(-2, 2, (6, 9)), jnp.float32)
+        b = jnp.asarray(RNG.uniform(-2, 2, (9, 4)), jnp.float32)
+        sa = proto.share(jax.random.fold_in(k, 0), a)
+        sb = proto.share(jax.random.fold_in(k, 1), b)
+        out = proto.reveal(proto.matmul(jax.random.fold_in(k, 2), sa, sb))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(a @ b),
+                                   atol=1e-2)
+
+    def test_relu(self):
+        proto = Protocol()
+        x = jnp.asarray(RNG.uniform(-3, 3, (32,)), jnp.float32)
+        sh = proto.share(jax.random.key(3), x)
+        got = proto.reveal(proto.relu(sh))
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.maximum(np.asarray(x), 0), atol=2e-4)
+
+    @pytest.mark.parametrize("mode", ["exact", "probabilistic"])
+    def test_truncation_modes(self, mode):
+        proto = Protocol(truncation=mode)
+        x = jnp.asarray(RNG.uniform(-4, 4, (64,)), jnp.float32)
+        sh = proto.share(jax.random.key(4), x)
+        got = proto.reveal(proto.scale_const(jax.random.key(5), sh, 0.5))
+        atol = 2e-4 if mode == "exact" else 2e-3
+        np.testing.assert_allclose(np.asarray(got), 0.5 * np.asarray(x),
+                                   atol=atol)
+
+
+class TestMpcEngine:
+    @pytest.mark.parametrize("n_parties", [1, 2])
+    def test_forward_matches_plaintext(self, n_parties):
+        src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
+        param = make_param(32, feats.shape[1], labels.max() + 1)
+        graphs = build_parties(src, dst, feats, labels, n_parties)
+        plain = GasEngine(build_device_plan(graphs), param)
+        mpc = MpcGasEngine(build_device_plan(graphs), param)
+        zp, _, _ = plain.forward()
+        zm, _, _ = mpc.forward()
+        np.testing.assert_allclose(np.asarray(zm), np.asarray(zp), atol=2e-2)
+
+    def test_epoch_tracks_oracle(self):
+        src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
+        param = make_param(32, feats.shape[1], labels.max() + 1)
+        graphs = build_parties(src, dst, feats, labels, 2)
+        oracle = GasOracle(build_parties(src, dst, feats, labels, 2), param)
+        mpc = MpcGasEngine(build_device_plan(graphs), param)
+        m = mpc.run_epochs(2)
+        oracle.run_epochs(2)
+        for l in range(2):
+            w = mpc.reveal_weights()[l]
+            for p in range(2):
+                np.testing.assert_allclose(
+                    w[p], oracle.parties[p].weights[l], atol=5e-3,
+                    err_msg=f"party {p} layer {l}")
+        om = oracle.metrics[-1]
+        np.testing.assert_allclose(float(np.asarray(m["loss"])[0]), om.loss,
+                                   atol=5e-2)
+        assert int(np.asarray(m["num_border"])[0]) == om.num_border
+
+    def test_training_learns(self):
+        src, dst, feats, labels = make_dataset(n=32, m=200, homophily=0.9,
+                                               with_isolated=False)
+        param = make_param(32, feats.shape[1], labels.max() + 1, lr=1.0)
+        graphs = build_parties(src, dst, feats, labels, 2)
+        mpc = MpcGasEngine(build_device_plan(graphs), param)
+        first = MpcGasEngine.metrics_host(mpc.run_epoch())
+        last = MpcGasEngine.metrics_host(mpc.run_epochs(15))
+        assert last["loss"][0] < first["loss"][0]
+        assert last["train_acc"].mean() > 0.7

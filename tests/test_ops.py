@@ -1,0 +1,92 @@
+"""Hot-op tests: dense vs sparse aggregation; exact ring matmul."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cognn_tpu.config import GNNParam
+from cognn_tpu.engine import GasEngine, build_device_plan
+from cognn_tpu.ops.intmatmul import ring_matmul, ring_matmul_np
+from cognn_tpu.core.ring import ring_from_u64, ring_to_u64
+
+from test_oracle import build_parties, make_dataset, make_param
+
+RNG = np.random.default_rng(11)
+
+
+class TestDenseAggregation:
+    @pytest.mark.parametrize("n_parties", [1, 3])
+    def test_dense_equals_sparse(self, n_parties):
+        src, dst, feats, labels = make_dataset(n=48, m=300, homophily=0.7)
+        param = make_param(48, feats.shape[1], labels.max() + 1)
+        graphs = build_parties(src, dst, feats, labels, n_parties)
+        e_dense = GasEngine(build_device_plan(graphs, dense=True), param)
+        e_sparse = GasEngine(build_device_plan(graphs, dense=False), param)
+        assert e_dense._dense_adj is not None
+        assert e_sparse._dense_adj is None
+        md = GasEngine.metrics_host(e_dense.run_epochs(3))
+        ms = GasEngine.metrics_host(e_sparse.run_epochs(3))
+        np.testing.assert_allclose(md["loss"], ms["loss"], atol=1e-5)
+        for l in range(2):
+            np.testing.assert_allclose(np.asarray(e_dense.weights[l]),
+                                       np.asarray(e_sparse.weights[l]),
+                                       atol=1e-5)
+
+    def test_dense_opt_in(self):
+        src, dst, feats, labels = make_dataset(n=48, m=300)
+        graphs = build_parties(src, dst, feats, labels, 1)
+        assert build_device_plan(graphs).dense_adj is None  # dense is opt-in
+
+
+class TestRingMatmul:
+    @pytest.mark.parametrize("bits", [32, 64])
+    def test_random_exact(self, bits):
+        N, K, M = 17, 33, 9
+        a = RNG.integers(0, 1 << 64, (N, K), dtype=np.uint64)
+        b = RNG.integers(0, 1 << 64, (K, M), dtype=np.uint64)
+        mask = np.uint64((1 << bits) - 1) if bits < 64 else np.uint64(2**64 - 1)
+        a &= mask
+        b &= mask
+        from cognn_tpu.core.ring import RingSpec
+
+        spec = RingSpec(bits)
+        got = ring_to_u64(np.asarray(ring_matmul(
+            jnp.asarray(ring_from_u64(a, spec)),
+            jnp.asarray(ring_from_u64(b, spec)), bits=bits)), spec)
+        expect = ring_matmul_np(a, b, bits=bits)
+        np.testing.assert_array_equal(got, expect)
+
+    def test_share_space_product(self):
+        """(X0+X1)(W0+W1) mod 2^64 equals plaintext fixed-point product."""
+        from cognn_tpu.core import (FixedPointSpec, fp_decode, fp_encode,
+                                    share_merge_np, share_split_np)
+
+        spec = FixedPointSpec()
+        X = RNG.uniform(-2, 2, (8, 5))
+        W = RNG.uniform(-1, 1, (5, 3))
+        x_s0, x_s1 = share_split_np(fp_encode(X, spec), RNG)
+        w_s0, w_s1 = share_split_np(fp_encode(W, spec), RNG)
+        x_rec = share_merge_np(x_s0, x_s1)
+        w_rec = share_merge_np(w_s0, w_s1)
+        got = ring_to_u64(np.asarray(ring_matmul(
+            jnp.asarray(ring_from_u64(x_rec)),
+            jnp.asarray(ring_from_u64(w_rec)))))
+        # result has 2f fractional bits; decode accordingly
+        dec = fp_decode(got, FixedPointSpec(frac_bits=32))
+        np.testing.assert_allclose(dec, X @ W, atol=1e-3)
+
+    def test_k_blocking(self):
+        """K > block size path."""
+        import cognn_tpu.ops.intmatmul as im
+
+        old = im._MAX_K
+        im._MAX_K = 16
+        try:
+            a = RNG.integers(0, 1 << 64, (4, 50), dtype=np.uint64)
+            b = RNG.integers(0, 1 << 64, (50, 4), dtype=np.uint64)
+            got = ring_to_u64(np.asarray(im.ring_matmul.__wrapped__(
+                jnp.asarray(ring_from_u64(a)), jnp.asarray(ring_from_u64(b)),
+                64)))
+            np.testing.assert_array_equal(got, ring_matmul_np(a, b))
+        finally:
+            im._MAX_K = old
