@@ -1,0 +1,62 @@
+"""Checkpoint / resume.
+
+The reference has NO model checkpointing (SURVEY.md §5) — it only persists
+OEP/OT preprocessing material reusable via ``-n``. We keep the ``-n`` flag's
+meaning (skip redoable work) and add what a production framework needs:
+weight checkpointing with atomic writes, plus the jit compilation cache.
+
+Plaintext engines save per-party weight replicas; MPC engines save the SHARE
+pairs (so resuming never materializes plaintext weights on disk).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+
+def save(engine, ckpt_dir: str | Path, epoch: int) -> Path:
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    is_mpc = hasattr(engine, "weights_sh")
+    weights = engine.weights_sh if is_mpc else engine.weights
+    arrays = {f"w{i}": np.asarray(w) for i, w in enumerate(weights)}
+    meta = {"epoch": epoch, "mpc": is_mpc, "num_layers": len(arrays)}
+    fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp")
+    os.close(fd)
+    np.savez(tmp, **arrays)  # np.savez appends .npz
+    os.replace(tmp + ".npz", ckpt_dir / "weights.npz")
+    os.unlink(tmp)
+    (ckpt_dir / "meta.json").write_text(json.dumps(meta))
+    return ckpt_dir / "weights.npz"
+
+
+def try_restore(engine, ckpt_dir: str | Path) -> bool:
+    ckpt_dir = Path(ckpt_dir)
+    wfile, mfile = ckpt_dir / "weights.npz", ckpt_dir / "meta.json"
+    if not (wfile.exists() and mfile.exists()):
+        return False
+    import jax.numpy as jnp
+
+    meta = json.loads(mfile.read_text())
+    data = np.load(wfile)
+    is_mpc = hasattr(engine, "weights_sh")
+    if meta["mpc"] != is_mpc:
+        raise ValueError("checkpoint mode (mpc/plaintext) mismatch")
+    target = engine.weights_sh if is_mpc else engine.weights
+    if len(target) != meta["num_layers"]:
+        raise ValueError("checkpoint layer count mismatch")
+    restored = [jnp.asarray(data[f"w{i}"]) for i in range(meta["num_layers"])]
+    for i, (cur, new) in enumerate(zip(target, restored)):
+        if cur.shape != new.shape:
+            raise ValueError(
+                f"layer {i} shape mismatch: {cur.shape} vs {new.shape}")
+    if is_mpc:
+        engine.weights_sh = restored
+    else:
+        engine.weights = restored
+    return True

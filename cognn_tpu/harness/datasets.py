@@ -147,4 +147,74 @@ def transform(ds: Dataset, out_dir: str | Path, partitions=(2, 3, 4, 5),
     for p in partitions:
         write_partition_file(out / f"{name}.part.preprocessed.{p}p",
                              {v: v % p for v in range(n)})
+    write_config(ds, out)
     return out
+
+
+def write_config(ds: Dataset, out_dir: str | Path,
+                 hidden_dim: int = 16) -> Path:
+    """Emit the GNN config in the reference's ``key : value`` format
+    (`build_from_source/config/*.txt`)."""
+    p = ds.param
+    out = Path(out_dir) / f"{ds.name.lower()}_config.txt"
+    out.write_text(
+        f"num_layers : {p.num_layers}\n"
+        f"num_labels : {p.num_labels}\n"
+        f"input_dim : {p.input_dim}\n"
+        f"hidden_dim : {hidden_dim}\n"
+        f"num_samples : {p.num_samples}\n"
+        f"num_edges : {p.num_edges}\n"
+        f"learning_rate : {p.learning_rate}\n"
+        f"train_ratio : {p.train_ratio}\n"
+        f"val_ratio : {p.val_ratio}\n"
+        f"test_ratio : {p.test_ratio}\n")
+    return out
+
+
+def transform_by_parts(ds: Dataset, out_dir: str | Path,
+                       num_parts: int = 5, shuffle_seed: int = 42) -> Path:
+    """The reference's "scaler" subsets for efficiency scaling evals
+    (`tools/data_transform.py:67-139`): vertices split into ``num_parts``
+    contiguous blocks; subset ``ks`` = first k blocks with edges filtered to
+    both-endpoints-inside and block-index partition labels. Writes
+    ``<out>/<k>s/<name>.{vertex,edge,part}.preprocessed``.
+    """
+    from cognn_tpu.graph import (write_edge_list, write_partition_file,
+                                 write_vertex_file)
+
+    out = Path(out_dir)
+    n = len(ds.features)
+    rng = np.random.default_rng(shuffle_seed)
+    perm = rng.permutation(n)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    feats, labels = ds.features[perm], ds.labels[perm]
+    src, dst = inv[ds.src], inv[ds.dst]
+    name = ds.name.lower()
+    bounds = np.array_split(np.arange(n), num_parts)
+    for i in range(1, num_parts):
+        sub_n = sum(len(b) for b in bounds[: i + 1])
+        sub = out / f"{i + 1}s"
+        sub.mkdir(parents=True, exist_ok=True)
+        write_vertex_file(sub / f"{name}.vertex.preprocessed",
+                          np.arange(sub_n), feats[:sub_n], labels[:sub_n])
+        keep = (src < sub_n) & (dst < sub_n)
+        write_edge_list(sub / f"{name}.edge.preprocessed", src[keep],
+                        dst[keep])
+        part = {}
+        off = 0
+        for k, b in enumerate(bounds[: i + 1]):
+            for v in range(off, off + len(b)):
+                part[v] = k
+            off += len(b)
+        write_partition_file(sub / f"{name}.part.preprocessed", part)
+    return out
+
+
+def strip_cross_edges(src: np.ndarray, dst: np.ndarray,
+                      tid_of: Dict[int, int]):
+    """Keep only intra-party edges — the FedGNN baseline's local graphs
+    (reference Task-Worker `fed_gcn.cpp` per README.md:101)."""
+    keep = np.array([tid_of[int(u)] == tid_of[int(v)]
+                     for u, v in zip(src, dst)])
+    return src[keep], dst[keep]

@@ -1,0 +1,138 @@
+"""Main run entry — reference `algo_kernels/common_harness/harness.cpp:50-212`.
+
+Flow (mirrors the reference's main): parse args -> GNNParam.readConfig ->
+load graph tiles -> load vertex data -> build engine -> run -> dump output.
+
+In ``stacked`` mode (default) one process hosts all parties (they share the
+chip; the reference's per-party processes collapse into the leading array
+axis). In ``sharded`` mode the party axis is laid over the device mesh.
+Logs keep the reference's grep-able lines: ``::<tag> took`` spans and the
+accuracy block per prediction iteration (`optimize-gcn/gcn.h:620-632`).
+
+Usage:
+  python -m cognn_tpu.harness.run_party -g 2 -m 540 \
+      cora.edge.preprocessed cora.vertex.preprocessed \
+      cora.part.preprocessed.2p out.txt cora_config.txt
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from cognn_tpu.config import GNNParam
+from cognn_tpu.harness.cli import build_parser, to_run_config
+from cognn_tpu.utils.logging_utils import duration_span
+
+
+def load_party_graphs(cfg, param: GNNParam):
+    from cognn_tpu.graph import (build_party_graph, read_edge_list,
+                                 read_partition_file, read_vertex_file)
+
+    with duration_span("graph_load"):
+        src, dst, w = read_edge_list(cfg.edge_file,
+                                     undirected=cfg.undirected)
+        vid, feats, labels = read_vertex_file(cfg.vertex_file,
+                                              param.input_dim)
+        tid = (read_partition_file(cfg.partition_file, cfg.tiles)
+               if cfg.tiles > 1 else None)
+        graphs = []
+        for p in range(cfg.tiles):
+            g = build_party_graph(src, dst, w, tid, p, cfg.tiles,
+                                  no_dummy_edge=cfg.no_dummy_edge,
+                                  all_vids=vid)
+            g.set_vertex_data(vid, feats, labels)
+            graphs.append(g)
+    return graphs
+
+
+def print_metrics_reference_format(metrics_host: dict, party: int = 0,
+                                   num_vertices: int = 0) -> None:
+    m = {k: np.asarray(v) for k, v in metrics_host.items()}
+    print("--------")
+    print(f"cross-entropy-loss = {m['loss'][party]:.6f}")
+    print(f"full set accuracy = {m['full_acc'][party]:.6f}")
+    print(f"training set accuracy = {m['train_acc'][party]:.6f}")
+    print(f"border training set accuracy = {m['border_train_acc'][party]:.6f}")
+    print(f"test set accuracy = {m['test_acc'][party]:.6f}")
+    print(f"border test set accuracy = {m['border_test_acc'][party]:.6f}")
+    print(f"the number of vertices is {num_vertices}, the number of border "
+          f"vertices is {int(m['num_border'][party])}", flush=True)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = to_run_config(args)
+    param = GNNParam.read_config(cfg.gnn_config_file)
+
+    import jax
+
+    from cognn_tpu.engine import GasEngine, build_device_plan
+
+    graphs = load_party_graphs(cfg, param)
+    with duration_span("preprocess"):
+        plan = build_device_plan(graphs, lane=8,
+                                 dense=args.dense_aggregation or None)
+
+    mesh = None
+    if args.mode == "sharded":
+        mesh = jax.make_mesh((cfg.tiles,), ("party",))
+
+    if args.mpc:
+        from cognn_tpu.core.fixedpoint import FixedPointSpec
+        from cognn_tpu.core.ring import RING32, RING64
+        from cognn_tpu.mpc import MpcGasEngine
+
+        fp = FixedPointSpec(RING64 if cfg.ring_bits == 64 else RING32,
+                            cfg.scaler_bits)
+        engine = MpcGasEngine(plan, param, cfg.variant, fp=fp)
+    else:
+        engine = GasEngine(plan, param, cfg.variant, mode=args.mode,
+                           mesh=mesh)
+
+    ckpt_dir = Path("checkpoints") / cfg.setting
+    if cfg.no_preprocess:
+        from cognn_tpu.harness.checkpoint import try_restore
+
+        restored = try_restore(engine, ckpt_dir)
+        if restored:
+            print(f"restored checkpoint from {ckpt_dir}")
+
+    epoch_layers = engine.epoch_layers
+    if cfg.variant == "opt_inference":
+        with duration_span("iteration"):
+            z, prob, metrics = engine.forward()
+        print_metrics_reference_format(engine.metrics_host(metrics),
+                                       num_vertices=graphs[0].num_local)
+    else:
+        epochs = max(1, cfg.max_iters // epoch_layers)
+        for e in range(epochs):
+            with duration_span("iteration"):
+                metrics = engine.run_epoch()
+            print(f"tid-> 0, iteration-> {(e + 1) * epoch_layers}")
+            print_metrics_reference_format(
+                engine.metrics_host(metrics),
+                num_vertices=graphs[0].num_local)
+            if args.checkpoint_every and (e + 1) % args.checkpoint_every == 0:
+                from cognn_tpu.harness.checkpoint import save
+
+                save(engine, ckpt_dir, e + 1)
+        z, prob, _ = engine.forward()
+
+    # output dump (the reference's #ifdef VDATA block, harness.cpp:183-194)
+    if cfg.output_file and cfg.output_file != "-":
+        logits = np.asarray(jax.device_get(z))
+        with open(cfg.output_file, "w") as f:
+            for p, g in enumerate(graphs):
+                for li, vid in enumerate(g.local_vids):
+                    row = " ".join(f"{x:.6f}" for x in logits[p, li])
+                    f.write(f"{vid} {row}\n")
+        print(f"wrote vertex outputs to {cfg.output_file}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,106 @@
+"""Harness tests: CLI end-to-end, checkpoint/resume, cluster driver, plots."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+ENV = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+       "PYTHONPATH": str(REPO)}
+
+
+def run(cmd, cwd):
+    return subprocess.run([sys.executable] + cmd, cwd=cwd, env=ENV,
+                          capture_output=True, text=True, timeout=600)
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    r = run([str(REPO / "tools/data_transform.py"), "cora_small",
+             "--out", str(d)], cwd=d)
+    assert r.returncode == 0, r.stderr
+    return d
+
+
+def test_run_party_cli(dataset_dir, tmp_path):
+    r = run(["-m", "cognn_tpu.harness.run_party", "-g", "2", "-m", "30",
+             str(dataset_dir / "cora_small.edge.preprocessed"),
+             str(dataset_dir / "cora_small.vertex.preprocessed"),
+             str(dataset_dir / "cora_small.part.preprocessed.2p"),
+             str(tmp_path / "out.txt"),
+             str(dataset_dir / "cora_small_config.txt")], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "cross-entropy-loss = " in r.stdout
+    assert "border test set accuracy = " in r.stdout
+    assert "::iteration took" in r.stdout
+    out = (tmp_path / "out.txt").read_text().splitlines()
+    assert len(out) == 64  # one row per vertex
+    # vids 0..63 all present
+    assert sorted(int(l.split()[0]) for l in out) == list(range(64))
+
+
+def test_run_party_mpc_and_inference(dataset_dir, tmp_path):
+    r = run(["-m", "cognn_tpu.harness.run_party", "-g", "2", "-m", "6",
+             "--mpc",
+             str(dataset_dir / "cora_small.edge.preprocessed"),
+             str(dataset_dir / "cora_small.vertex.preprocessed"),
+             str(dataset_dir / "cora_small.part.preprocessed.2p"), "-",
+             str(dataset_dir / "cora_small_config.txt")], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "cross-entropy-loss = " in r.stdout
+    r = run(["-m", "cognn_tpu.harness.run_party", "-g", "2", "-m", "2",
+             "--variant", "inference",
+             str(dataset_dir / "cora_small.edge.preprocessed"),
+             str(dataset_dir / "cora_small.vertex.preprocessed"),
+             str(dataset_dir / "cora_small.part.preprocessed.2p"), "-",
+             str(dataset_dir / "cora_small_config.txt")], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "test set accuracy" in r.stdout
+
+
+def test_checkpoint_resume(dataset_dir, tmp_path):
+    args = ["-m", "cognn_tpu.harness.run_party", "-g", "2", "-m", "12",
+            "--checkpoint-every", "1", "-s", "ckpt_test",
+            str(dataset_dir / "cora_small.edge.preprocessed"),
+            str(dataset_dir / "cora_small.vertex.preprocessed"),
+            str(dataset_dir / "cora_small.part.preprocessed.2p"), "-",
+            str(dataset_dir / "cora_small_config.txt")]
+    r = run(args, cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "checkpoints/ckpt_test/weights.npz").exists()
+    # resume: -n restores weights; loss should start lower than cold start
+    r2 = run(args + ["-n"], cwd=tmp_path)
+    assert r2.returncode == 0, r2.stderr
+    assert "restored checkpoint" in r2.stdout
+    first_loss = float(r.stdout.split("cross-entropy-loss = ")[1].split()[0])
+    resumed_loss = float(
+        r2.stdout.split("cross-entropy-loss = ")[1].split()[0])
+    assert resumed_loss < first_loss
+
+
+def test_cluster_driver_and_plots(tmp_path):
+    r = run([str(REPO / "tools/run_cluster.py"),
+             "--smallest-cognn-efficiency", "--dataset", "cora_small"],
+            cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    log0 = tmp_path / "log/smallest_efficiency/gcn_test_cora_small_0.log"
+    assert log0.exists()
+    assert "::iteration took" in log0.read_text()
+    comm = tmp_path / "comm/smallest_efficiency/cora_small_0.comm"
+    assert json.loads(comm.read_text())["sent_MB"] > 0
+    r = run([str(REPO / "tools/plot/plot_accuracy.py"), str(log0),
+             "--out", str(tmp_path / "acc.png")], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "acc.png").stat().st_size > 1000
+    r = run([str(REPO / "tools/plot/plot_duration_and_comm.py"),
+             "--setting", "smallest_efficiency", "--iters-per-epoch", "6"],
+            cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "mean_epoch=" in r.stdout

@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Experiment driver — reference `tools/tmp_run_cluster.py` equivalent.
+
+Runs the paper's evaluation matrix on TPU (or CPU) and writes per-party logs
+in the reference's naming scheme ``log/<setting>/gcn_test_<dataset>_<p>.log``
+with the same grep-able lines (``::iteration took``, the accuracy block), so
+the plot suite (tools/plot/) works on either framework's output. Where the
+reference measures per-NIC bytes with psutil over its TCP mesh, we account
+the collective traffic analytically from the device plan (halo rows shipped
+per epoch) into ``comm/<setting>/<dataset>_<p>.comm``.
+
+Evaluations (reference `tmp_run_cluster.py:263-448`):
+  --smallest-cognn-efficiency   2-party cora, 2 epochs (the ~1 min check)
+  --cognn-opt-accuracy          90-epoch training, parties 2..5
+  --cognn-unopt-accuracy        same with the unopt (2L) schedule
+  --cognn-opt-efficiency        scaler subsets 2s..5s, 1 epoch timing
+  --cognn-opt-inference         forward-only
+  --fedgnn                      FedAvg baseline (cross-party edges removed)
+  --plaintext                   single-party global-graph baseline
+Options: --mpc (secret-shared execution), --dataset, --epochs, --parties.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from cognn_tpu.engine import GasEngine, build_device_plan  # noqa: E402
+from cognn_tpu.graph import build_party_graph  # noqa: E402
+from cognn_tpu.harness.datasets import (  # noqa: E402
+    synthetic_planetoid,
+    strip_cross_edges,
+)
+
+
+def build_graphs(ds, n_parties, fedgnn=False):
+    n = len(ds.features)
+    vids = np.arange(n)
+    tid = ({v: v % n_parties for v in range(n)} if n_parties > 1 else None)
+    src, dst = ds.src, ds.dst
+    if fedgnn and tid:
+        src, dst = strip_cross_edges(src, dst, tid)
+    graphs = []
+    for p in range(n_parties):
+        g = build_party_graph(src, dst, None, tid, p, n_parties,
+                              all_vids=vids)
+        g.set_vertex_data(vids, ds.features, ds.labels)
+        graphs.append(g)
+    return graphs
+
+
+def estimate_comm_bytes_per_epoch(plan, param, variant="opt"):
+    """Analytic collective traffic per party per epoch: halo mirror rows
+    shipped both directions for each GAS aggregation phase, plus the weight
+    averaging (compare reference `tools/plot/plot_message_passing_comm.py`)."""
+    gas_phases = {"opt": [param.hidden_dim, param.num_labels,
+                          param.num_labels, param.hidden_dim],
+                  "unopt": [param.input_dim, param.hidden_dim,
+                            param.hidden_dim]}[
+        "opt" if variant.startswith("opt") else "unopt"]
+    mirrors = int(plan.recv_mask.sum()) / max(plan.num_parties, 1)
+    dtype_bytes = 4
+    per_party = sum(mirrors * d * dtype_bytes for d in gas_phases)
+    weights = (param.input_dim * param.hidden_dim
+               + param.hidden_dim * param.num_labels) * dtype_bytes * 2
+    return per_party + weights
+
+
+def run_training(ds, n_parties, epochs, variant, mpc, setting,
+                 fedgnn=False, log_root=Path("log"), comm_root=Path("comm")):
+    import jax
+
+    graphs = build_graphs(ds, n_parties, fedgnn=fedgnn)
+    plan = build_device_plan(graphs)
+    if mpc:
+        from cognn_tpu.mpc import MpcGasEngine
+
+        engine = MpcGasEngine(plan, ds.param, variant)
+    else:
+        engine = GasEngine(plan, ds.param, variant)
+
+    logdir = log_root / setting
+    logdir.mkdir(parents=True, exist_ok=True)
+    logs = [open(logdir / f"gcn_test_{ds.name.lower()}_{p}.log", "w")
+            for p in range(n_parties)]
+
+    def emit(p, line):
+        logs[p].write(line + "\n")
+
+    epoch_layers = engine.epoch_layers
+    if variant == "opt_inference":
+        t0 = time.perf_counter()
+        z, prob, metrics = engine.forward()
+        jax.block_until_ready(prob)
+        dt = time.perf_counter() - t0
+        m = engine.metrics_host(metrics)
+        for p in range(n_parties):
+            emit(p, f"::iteration took {dt:.6f}")
+            _emit_metrics(emit, p, m, graphs[p])
+    else:
+        for e in range(epochs):
+            t0 = time.perf_counter()
+            metrics = engine.run_epoch()
+            jax.block_until_ready(
+                engine.weights_sh if mpc else engine.weights)
+            dt = time.perf_counter() - t0
+            m = engine.metrics_host(metrics)
+            for p in range(n_parties):
+                emit(p, f"tid-> {p}, iteration-> {(e + 1) * epoch_layers}")
+                # one span per schedule iteration, as the reference logs
+                for _ in range(epoch_layers):
+                    emit(p, f"::iteration took {dt / epoch_layers:.6f}")
+                _emit_metrics(emit, p, m, graphs[p])
+    for f in logs:
+        f.close()
+
+    commdir = comm_root / setting
+    commdir.mkdir(parents=True, exist_ok=True)
+    per_epoch = estimate_comm_bytes_per_epoch(plan, ds.param, variant)
+    total_mb = per_epoch * max(epochs, 1) / 1e6
+    for p in range(n_parties):
+        (commdir / f"{ds.name.lower()}_{p}.comm").write_text(
+            json.dumps({"sent_MB": total_mb, "recv_MB": total_mb,
+                        "analytic": True}) + "\n")
+    return engine
+
+
+def _emit_metrics(emit, p, m, graph):
+    emit(p, "--------")
+    emit(p, f"cross-entropy-loss = {m['loss'][p]:.6f}")
+    emit(p, f"full set accuracy = {m['full_acc'][p]:.6f}")
+    emit(p, f"training set accuracy = {m['train_acc'][p]:.6f}")
+    emit(p, f"border training set accuracy = {m['border_train_acc'][p]:.6f}")
+    emit(p, f"test set accuracy = {m['test_acc'][p]:.6f}")
+    emit(p, f"border test set accuracy = {m['border_test_acc'][p]:.6f}")
+    emit(p, f"the number of vertices is {graph.num_local}, the number of "
+            f"border vertices is {int(m['num_border'][p])}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smallest-cognn-efficiency", action="store_true")
+    ap.add_argument("--cognn-opt-accuracy", action="store_true")
+    ap.add_argument("--cognn-unopt-accuracy", action="store_true")
+    ap.add_argument("--cognn-opt-efficiency", action="store_true")
+    ap.add_argument("--cognn-opt-inference", action="store_true")
+    ap.add_argument("--fedgnn", action="store_true")
+    ap.add_argument("--plaintext", action="store_true")
+    ap.add_argument("--mpc", action="store_true",
+                    help="secret-shared execution for the cognn evals")
+    ap.add_argument("--dataset", default="cora",
+                    choices=["cora", "citeseer", "pubmed", "cora_small"])
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--parties", type=int, nargs="+", default=None)
+    args = ap.parse_args()
+
+    ds = synthetic_planetoid(args.dataset)
+
+    if args.smallest_cognn_efficiency:
+        t0 = time.perf_counter()
+        run_training(ds, 2, args.epochs or 2, "opt", args.mpc,
+                     "smallest_efficiency")
+        print(f"smallest test took {time.perf_counter() - t0:.1f}s "
+              f"(reference: ~1 min)")
+    if args.cognn_opt_accuracy:
+        for p in (args.parties or [2, 3, 4, 5]):
+            run_training(ds, p, args.epochs or 90, "opt", args.mpc,
+                         f"opt_accuracy_{p}p")
+            print(f"opt accuracy {p} parties done")
+    if args.cognn_unopt_accuracy:
+        for p in (args.parties or [2, 3, 4, 5]):
+            run_training(ds, p, args.epochs or 90, "unopt", False,
+                         f"unopt_accuracy_{p}p")
+            print(f"unopt accuracy {p} parties done")
+    if args.cognn_opt_efficiency:
+        from cognn_tpu.harness.datasets import DATASET_STATS
+
+        for k in (args.parties or [2, 3, 4, 5]):
+            # scaler subset ks: first k/5 blocks of the graph, k parties
+            n = len(ds.features)
+            keep_n = sum(len(b) for b in np.array_split(np.arange(n), 5)[:k])
+            import dataclasses
+
+            mask = (ds.src < keep_n) & (ds.dst < keep_n)
+            sub = dataclasses.replace(
+                ds, src=ds.src[mask], dst=ds.dst[mask],
+                features=ds.features[:keep_n], labels=ds.labels[:keep_n])
+            t0 = time.perf_counter()
+            run_training(sub, k, args.epochs or 1, "opt", args.mpc,
+                         f"opt_efficiency_{k}s")
+            print(f"opt efficiency {k}s ({keep_n} vertices, {k} parties): "
+                  f"{time.perf_counter() - t0:.1f}s")
+    if args.cognn_opt_inference:
+        run_training(ds, 2, 1, "opt_inference", args.mpc, "opt_inference")
+        print("inference done")
+    if args.fedgnn:
+        run_training(ds, 2, args.epochs or 90, "opt", False, "fedgnn",
+                     fedgnn=True)
+        print("fedgnn done")
+    if args.plaintext:
+        run_training(ds, 1, args.epochs or 90, "opt", False, "plaintext")
+        print("plaintext done")
+
+
+if __name__ == "__main__":
+    main()
