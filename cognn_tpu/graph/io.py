@@ -56,6 +56,16 @@ def read_vertex_file(path: str | Path, input_dim: int
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (vid[V], features[V, input_dim], label[V])
     (reference `harness.cpp:21-48` loadVertexData)."""
+    try:
+        from cognn_tpu.graph import native_io
+
+        return native_io.parse_vertex_file(path, input_dim)
+    except (ImportError, OSError):
+        pass
+    except ValueError as e:
+        raise ValueError(
+            f"vertex file {path}: {e} (expected vid + {input_dim} features "
+            f"+ label per row)") from e
     rows = np.loadtxt(path, dtype=np.float64, comments="#", ndmin=2)
     if rows.shape[1] != input_dim + 2:
         raise ValueError(

@@ -1,0 +1,78 @@
+"""BCSR structure + Pallas SpMM kernel tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cognn_tpu.ops.bcsr import (
+    BLOCK,
+    bcsr_spmm_reference,
+    build_bcsr,
+    reorder_for_locality,
+)
+from cognn_tpu.ops.pallas_spmm import PallasSpmm
+
+RNG = np.random.default_rng(17)
+
+
+def random_edges(V, E, band=None):
+    src = RNG.integers(0, V, E)
+    if band:
+        dst = (src + RNG.integers(-band, band, E)) % V
+    else:
+        dst = RNG.integers(0, V, E)
+    return src, dst
+
+
+class TestBcsr:
+    def test_structure(self):
+        src, dst = random_edges(300, 1000)
+        m = build_bcsr(src, dst, 300, 300)
+        assert m.n_src_blocks == m.n_dst_blocks == 3
+        # sorted by (bj, bi)
+        key = m.bj.astype(np.int64) * m.n_src_blocks + m.bi
+        assert (np.diff(key) > 0).all()
+        # total mass == number of edges
+        assert m.vals.sum() == 1000
+
+    def test_duplicate_edges_accumulate(self):
+        m = build_bcsr([0, 0], [1, 1], 2, 2)
+        assert m.vals[0, 0, 1] == 2.0
+
+    def test_reference_matches_direct(self):
+        src, dst = random_edges(200, 800)
+        m = build_bcsr(src, dst, 200, 200)
+        ht = RNG.normal(size=(8, m.n_src_blocks * BLOCK))
+        ref = bcsr_spmm_reference(m, ht)
+        U = np.zeros((200, 8))
+        np.add.at(U, dst, ht.T[:200][src])
+        np.testing.assert_allclose(ref.T[:200], U, atol=1e-9)
+
+    def test_reorder_is_permutation(self):
+        src, dst = random_edges(100, 300)
+        perm = reorder_for_locality(src, dst, 100)
+        assert sorted(perm.tolist()) == list(range(100))
+
+
+class TestPallasSpmm:
+    @pytest.mark.parametrize("V,E,D", [(512, 4096, 16), (300, 900, 8)])
+    def test_matches_reference(self, V, E, D):
+        src, dst = random_edges(V, E)
+        m = build_bcsr(src, dst, V, V)
+        ht = RNG.normal(size=(D, m.n_src_blocks * BLOCK)).astype(np.float32)
+        k = PallasSpmm(m, interpret=True)
+        got = np.asarray(k(jnp.asarray(ht)))
+        ref = bcsr_spmm_reference(m, ht)
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 5e-3  # bf16 operand rounding
+
+    def test_empty_dst_blocks_zeroed(self):
+        # all edges target block 0; higher dst blocks must come out zero
+        src = RNG.integers(0, 512, 100)
+        dst = RNG.integers(0, 64, 100)
+        m = build_bcsr(src, dst, 512, 512)
+        ht = RNG.normal(size=(8, m.n_src_blocks * BLOCK)).astype(np.float32)
+        k = PallasSpmm(m, interpret=True)
+        got = np.asarray(k(jnp.asarray(ht)))
+        assert np.abs(got[:, 128:]).max() == 0.0

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Aggregation-kernel microbenchmark: Pallas BCSR SpMM vs XLA take+segsum.
+
+The north-star op (BASELINE.json: "SpMM/SDDMM speed-of-light per chip").
+Reports single-dispatch latency (honest, no async amortization) and the HBM
+roofline for the block stream.
+
+  python tools/bench_spmm.py [--v 32768] [--e 131072] [--d 16] [--band 2048]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--v", type=int, default=1 << 15)
+    ap.add_argument("--e", type=int, default=1 << 17)
+    ap.add_argument("--d", type=int, default=16)
+    ap.add_argument("--band", type=int, default=2048,
+                    help="edge locality band (models BFS-reordered graphs)")
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cognn_tpu.ops.bcsr import build_bcsr
+    from cognn_tpu.ops.pallas_spmm import PallasSpmm
+
+    rng = np.random.default_rng(0)
+    V, E, D = args.v, args.e, args.d
+    src = rng.integers(0, V, E)
+    dst = (src + rng.integers(-args.band, args.band, E)) % V
+    m = build_bcsr(src, dst, V, V)
+    mb = m.nnzb * 128 * 128 * 2 / 1e6  # bf16 stream
+    print(f"backend={jax.default_backend()} V={V} E={E} D={D} "
+          f"nnzb={m.nnzb} A-stream={mb:.0f} MB (bf16)")
+
+    ht0 = rng.normal(size=(D, m.n_src_blocks * 128)).astype(np.float32)
+    k = PallasSpmm(m)
+    x = jnp.asarray(ht0)
+    jax.block_until_ready(k(x))  # compile
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(k(x))
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    print(f"pallas bcsr_spmm: {t*1e3:.3f} ms  {E/t/1e9:.2f} Gedge/s  "
+          f"(roofline {mb/819:.3f} ms @819GB/s)")
+
+    order = np.argsort(dst, kind="stable")
+    src_j = jnp.asarray(src[order].astype(np.int32))
+    seg_j = jnp.asarray(dst[order].astype(np.int32))
+    H = jnp.asarray(ht0.T[:V])
+
+    @jax.jit
+    def xla_segsum(H):
+        return jax.ops.segment_sum(H[src_j], seg_j, num_segments=V,
+                                   indices_are_sorted=True)
+
+    jax.block_until_ready(xla_segsum(H))
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(xla_segsum(H))
+        times.append(time.perf_counter() - t0)
+    t2 = min(times)
+    print(f"xla take+segsum:  {t2*1e3:.3f} ms  {E/t2/1e9:.2f} Gedge/s  "
+          f"-> pallas speedup {t2/t:.1f}x")
+
+    U = np.zeros((V, D))
+    np.add.at(U, dst, ht0.astype(np.float64).T[:V][src])
+    got = np.asarray(k(x)).T[:V]
+    rel = np.abs(got - U).max() / max(np.abs(U).max(), 1e-9)
+    print(f"correctness: rel err {rel:.2e} (bf16 operand rounding)")
+
+
+if __name__ == "__main__":
+    main()
