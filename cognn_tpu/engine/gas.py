@@ -127,17 +127,60 @@ def _take_rows(h: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(lambda hp, ip: hp[ip])(h, idx)
 
 
+def _build_bcsr_spmm(plan: DevicePlan):
+    """Flatten all parties' real edge slots into one global (P*V)^2 BCSR
+    matrix and bind the Pallas SpMM kernel (stacked mode: the halo exchange
+    is part of the block structure)."""
+    from cognn_tpu.ops.bcsr import BLOCK, build_bcsr
+    from cognn_tpu.ops.pallas_spmm import PallasSpmm
+
+    P, V, M = plan.num_parties, plan.V, plan.M
+    srcs, dsts = [], []
+    for p in range(P):
+        real = plan.loc_valid[p]
+        srcs.append(p * V + plan.loc_src[p][real].astype(np.int64))
+        dsts.append(p * V + plan.loc_seg[p][real].astype(np.int64))
+        rr = plan.rem_valid[p]
+        seg = plan.rem_seg[p][rr].astype(np.int64)
+        j = seg // M
+        mir = seg % M
+        tgt = plan.recv_target[j, p, mir].astype(np.int64)
+        srcs.append(p * V + plan.rem_src[p][rr].astype(np.int64))
+        dsts.append(j * V + tgt)
+    n = P * V
+    m = build_bcsr(np.concatenate(srcs), np.concatenate(dsts), n, n)
+    spmm = PallasSpmm(m)
+    width = m.n_src_blocks * BLOCK
+
+    def apply(h: jnp.ndarray) -> jnp.ndarray:
+        Pp, Vv, D = h.shape
+        Dp = -(-D // 8) * 8  # f32 sublane multiple
+        hf = h.reshape(n, D)
+        if Dp != D:
+            hf = jnp.pad(hf, ((0, 0), (0, Dp - D)))
+        ht = hf.T
+        if width != n:
+            ht = jnp.pad(ht, ((0, 0), (0, width - n)))
+        out = spmm(ht)
+        return out[:D, :n].T.reshape(Pp, Vv, D)
+
+    return apply
+
+
 class GasEngine:
     """Compiled GAS schedules over a :class:`DevicePlan`.
 
     ``mode``: "stacked" (default, single device) or "sharded" (party axis over
     mesh axis "party").
+    ``aggregation``: "sparse" (take + segment_sum, general), "dense"
+    (flat-adjacency MXU matmul; requires a plan built with dense=True), or
+    "bcsr" (Pallas block-sparse SpMM kernel — the fast path, stacked mode).
     """
 
     def __init__(self, plan: DevicePlan, param: GNNParam,
                  variant: str = "opt", dtype=jnp.float32,
                  mode: str = "stacked", mesh: Optional[jax.sharding.Mesh] = None,
-                 seed: int = 42):
+                 seed: int = 42, aggregation: str = "auto"):
         if variant not in ("opt", "opt_inference", "unopt"):
             raise ValueError(variant)
         set_split(plan, param.train_ratio, param.val_ratio)
@@ -160,6 +203,16 @@ class GasEngine:
             self._dense_adj = jnp.asarray(flat, dtype)
         else:
             self._dense_adj = None
+        if aggregation == "auto":
+            aggregation = "dense" if self._dense_adj is not None else "sparse"
+        if aggregation == "dense" and self._dense_adj is None:
+            raise ValueError("dense aggregation needs a dense=True plan")
+        self._bcsr_spmm = None
+        if aggregation == "bcsr":
+            if mode != "stacked":
+                raise ValueError("bcsr aggregation is stacked-mode only")
+            self._bcsr_spmm = _build_bcsr_spmm(plan)
+        self.aggregation = aggregation
         self.x0 = jnp.asarray(plan.features, dtype)
         dims = param.layer_dims
         # per-party weight replicas (reference keeps one per party and
@@ -213,7 +266,14 @@ class GasEngine:
         V, M, P = plan.V, plan.M, plan.num_parties
         D = h.shape[-1]
 
-        if self._dense_adj is not None:
+        if self._bcsr_spmm is not None:
+            # Pallas block-sparse SpMM path: gather/OGA/halo/gather in one
+            # MXU kernel; dummy/mask semantics baked into the block values.
+            agg = h + self._bcsr_spmm(h)
+            agg = agg * norm0(arr.in_deg)[..., None] if dest_scale else agg
+            return agg
+
+        if self.aggregation == "dense" and self._dense_adj is not None:
             # Dense adjacency path: the whole scatter/premerge/halo/gather
             # pipeline is ONE flat MXU matmul U = A^T H over the globally
             # flattened (party, vertex) axis. Dummy/mask semantics are baked

@@ -39,7 +39,7 @@ def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m if n > 0 else m
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(kw_only=True)
 class DevicePlan:
     """Static index plan for P stacked parties (numpy; moved to device lazily)."""
 
@@ -58,10 +58,12 @@ class DevicePlan:
     loc_src: np.ndarray  # int32[P, E_loc] source local index
     loc_seg: np.ndarray  # int32[P, E_loc] segment (== V for trash)
     loc_valid: np.ndarray  # bool[P, E_loc] real (non-dummy, non-pad) slot
+    loc_weight: np.ndarray = None  # f32[P, E_loc] edge weights (analytics)
     # remote send: slots grouped by destination party
     rem_src: np.ndarray  # int32[P, E_rem]
     rem_seg: np.ndarray  # int32[P, E_rem] -> dst_party * M + mirror_idx
     rem_valid: np.ndarray  # bool[P, E_rem]
+    rem_weight: np.ndarray = None  # f32[P, E_rem]
     # remote receive: mirror rows -> local vertex index
     recv_target: np.ndarray  # int32[P, P, M]  [me, from_party, mirror]
     recv_mask: np.ndarray  # bool[P, P, M]
@@ -103,9 +105,11 @@ def build_device_plan(graphs: List[PartyGraph], *, lane: int = 8,
     loc_src = np.zeros((P, E_loc), np.int32)
     loc_seg = np.full((P, E_loc), V, np.int32)
     loc_valid = np.zeros((P, E_loc), bool)
+    loc_weight = np.zeros((P, E_loc), np.float32)
     rem_src = np.zeros((P, E_rem), np.int32)
     rem_seg = np.full((P, E_rem), P * M, np.int32)
     rem_valid = np.zeros((P, E_rem), bool)
+    rem_weight = np.zeros((P, E_rem), np.float32)
     recv_target = np.zeros((P, P, M), np.int32)
     recv_mask = np.zeros((P, P, M), bool)
     gather_ok = np.zeros((P, P, V), bool)
@@ -132,6 +136,7 @@ def build_device_plan(graphs: List[PartyGraph], *, lane: int = 8,
         loc_src[p, :k] = lb.src_local
         loc_seg[p, :k] = lb.seg_id
         loc_valid[p, :k] = ~lb.dummy
+        loc_weight[p, :k] = lb.weight
 
         off = 0
         for b in g.blocks:
@@ -141,6 +146,7 @@ def build_device_plan(graphs: List[PartyGraph], *, lane: int = 8,
             rem_src[p, off:off + k] = b.src_local
             rem_seg[p, off:off + k] = b.dst_tile * M + b.seg_id
             rem_valid[p, off:off + k] = ~b.dummy
+            rem_weight[p, off:off + k] = b.weight
             off += k
 
         for i in range(P):
@@ -181,7 +187,9 @@ def build_device_plan(graphs: List[PartyGraph], *, lane: int = 8,
         num_local=num_local, vertex_mask=vertex_mask, in_deg=in_deg,
         border=border, labels=labels, train_n=train_n, val_n=val_n,
         loc_src=loc_src, loc_seg=loc_seg, loc_valid=loc_valid,
+        loc_weight=loc_weight,
         rem_src=rem_src, rem_seg=rem_seg, rem_valid=rem_valid,
+        rem_weight=rem_weight,
         recv_target=recv_target, recv_mask=recv_mask, gather_ok=gather_ok,
         features=feats, dense_adj=dense_adj,
     )

@@ -90,3 +90,19 @@ class TestRingMatmul:
             np.testing.assert_array_equal(got, ring_matmul_np(a, b))
         finally:
             im._MAX_K = old
+
+
+class TestBcsrAggregationBackend:
+    @pytest.mark.parametrize("n_parties", [1, 3])
+    def test_bcsr_engine_matches_sparse(self, n_parties):
+        src, dst, feats, labels = make_dataset(n=48, m=300, homophily=0.7)
+        param = make_param(48, feats.shape[1], labels.max() + 1)
+        graphs = build_parties(src, dst, feats, labels, n_parties)
+        e_sparse = GasEngine(build_device_plan(graphs), param)
+        e_bcsr = GasEngine(build_device_plan(graphs), param,
+                           aggregation="bcsr")
+        zs, _, _ = e_sparse.forward()
+        zb, _, _ = e_bcsr.forward()
+        rel = np.abs(np.asarray(zb) - np.asarray(zs)).max() / (
+            np.abs(np.asarray(zs)).max())
+        assert rel < 5e-3  # bf16 operand rounding in the kernel
