@@ -81,11 +81,16 @@ def synthetic_planetoid(name: str, seed: int = 0,
         dst_list += [v, u]
     src = np.array(src_list, np.int64)
     dst = np.array(dst_list, np.int64)
-    # sparse bag-of-words-like features with label signal
+    # sparse bag-of-words-like features with label signal. Feature scale is
+    # tuned so each dataset behaves under ITS reference learning rate:
+    # PubMed (lr=8.0, TF-IDF in the original) gets row-normalized rows;
+    # Cora/CiteSeer (lr<=0.8, binary BoW) keep unit entries.
     feats = (rng.random((n, f)) < 0.015).astype(np.float64)
     sig = min(8, f)
     block = (labels[:, None] * sig + np.arange(sig)[None, :]) % f
     feats[np.arange(n)[:, None], block] += 1.0
+    if name == "pubmed":
+        feats /= np.maximum(feats.sum(axis=1, keepdims=True), 1.0)
     return Dataset(name, src, dst, feats, labels, gnn_param_for(name))
 
 

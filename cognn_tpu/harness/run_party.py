@@ -88,7 +88,8 @@ def main(argv=None) -> int:
 
         fp = FixedPointSpec(RING64 if cfg.ring_bits == 64 else RING32,
                             cfg.scaler_bits)
-        engine = MpcGasEngine(plan, param, cfg.variant, fp=fp)
+        engine = MpcGasEngine(plan, param, cfg.variant, fp=fp,
+                              mode=args.mode, mesh=mesh)
     else:
         engine = GasEngine(plan, param, cfg.variant, mode=args.mode,
                            mesh=mesh)

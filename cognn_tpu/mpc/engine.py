@@ -85,14 +85,62 @@ def _shift64_u32(p: jnp.ndarray, s: int, L: int) -> jnp.ndarray:
     return jnp.stack([jnp.zeros_like(p), p << _U32(s - 32)])
 
 
+def _ring_psum_shares(sh: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Exact mod-2^64 sum of share tensors across a mesh axis, carry-free:
+    16-bit planes -> int32 psum -> recombine (valid for < 2^15 parties)."""
+    S, L = sh.shape[:2]
+    outs = []
+    for s_i in range(S):
+        acc = None
+        for l in range(L):
+            word = sh[s_i, l]
+            for p_i, plane in enumerate((word & _U32(0xFFFF),
+                                         word >> _U32(16))):
+                tot = jax.lax.psum(plane.astype(jnp.int32), axis_name)
+                term = _shift64_u32(tot.astype(_U32), 32 * l + 16 * p_i, L)
+                acc = term if acc is None else ring_add(
+                    _spec_for(L), acc, term)
+        outs.append(acc)
+    return jnp.stack(outs)
+
+
+class _MpcComm:
+    """Stacked-mode exchange (party axis = axis 2 of share tensors)."""
+
+    def halo(self, send):  # [2, L, Pl, Pglobal, M, D]
+        return jnp.swapaxes(send, 2, 3)
+
+    def weight_total(self, proto, w_sh, n_parties):
+        total = w_sh[:, :, 0]
+        for p in range(1, w_sh.shape[2]):
+            total = proto.add(total, w_sh[:, :, p])
+        return total[:, :, None]
+
+
+class _MpcShardedComm:
+    """Sharded-mode exchange (axis name "party"; local party axis len 1)."""
+
+    def halo(self, send):
+        out = jax.lax.all_to_all(send, "party", split_axis=3, concat_axis=2)
+        return jnp.swapaxes(out, 2, 3)
+
+    def weight_total(self, proto, w_sh, n_parties):
+        return _ring_psum_shares(w_sh, "party")
+
+
 class MpcGasEngine:
-    """Stacked-mode secret-shared GAS engine (variants: opt, opt_inference)."""
+    """Secret-shared GAS engine (variants: opt, opt_inference).
+
+    ``mode``: "stacked" (one device, parties batched) or "sharded" (party
+    axis over mesh axis "party" — multi-chip secret-shared training).
+    """
 
     def __init__(self, plan: DevicePlan, param: GNNParam,
                  variant: str = "opt",
                  fp: FixedPointSpec | None = None,
                  truncation: str = "exact", seed: int = 42,
-                 prng_seed: int = 0):
+                 prng_seed: int = 0, mode: str = "stacked",
+                 mesh=None):
         if variant not in ("opt", "opt_inference"):
             raise ValueError("mpc engine supports opt/opt_inference")
         set_split(plan, param.train_ratio, param.val_ratio)
@@ -105,6 +153,10 @@ class MpcGasEngine:
         self.epoch_layers = 3 * self.L
         self.arr = _plan_arrays(plan, jnp.float32)
         self._key = jax.random.key(prng_seed)
+        self.mode = mode
+        self.mesh = mesh
+        if mode == "sharded" and mesh is None:
+            raise ValueError("sharded mode requires a mesh")
 
         # share the pre-normalized features and Glorot weights
         self._key, k1 = jax.random.split(self._key)
@@ -127,24 +179,53 @@ class MpcGasEngine:
         self.inv_train_fp = self.proto.encode_public(
             1.0 / jnp.asarray(plan.train_n, jnp.float32))  # [L, P]
 
-        self._epoch = jax.jit(self._epoch_body)
-        self._forward = jax.jit(self._forward_body)
+        if mode == "sharded":
+            self._epoch = self._build_sharded(self._epoch_body)
+            self._forward = self._build_sharded(self._forward_body)
+        else:
+            comm = _MpcComm()
+            self._epoch = jax.jit(functools.partial(self._epoch_body, comm))
+            self._forward = jax.jit(
+                functools.partial(self._forward_body, comm))
+
+    def _build_sharded(self, body):
+        from jax.sharding import PartitionSpec as P
+
+        comm = _MpcShardedComm()
+        arr_spec = jax.tree.map(lambda _: P("party"), self.arr)
+        sh_spec = P(None, None, "party")  # [2, L, P, ...]
+        fp_spec = P(None, "party")  # [L, P, ...] public fixed-point consts
+        outs = jax.eval_shape(functools.partial(body, _MpcComm()),
+                              self._key, self.arr, self.weights_sh,
+                              self.x0_sh, self.n0_fp, self.inv_train_fp)
+        out_specs = jax.tree.map(
+            lambda x: sh_spec if (hasattr(x, "dtype")
+                                  and x.dtype == jnp.uint32) else P("party"),
+            outs)
+        fn = jax.shard_map(
+            functools.partial(body, comm), mesh=self.mesh,
+            in_specs=(P(), arr_spec, [sh_spec] * self.L, sh_spec,
+                      fp_spec, fp_spec),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(fn)
 
     # ------------------------------------------------------------------
     def _pmatmul(self, key, a_sh, b_sh):
-        """Per-party shared matmul: a [2,L,P,N,K] @ b [2,L,P,K,M]."""
-        keys = jax.random.split(key, self.P)
+        """Per-party shared matmul: a [2,L,Pl,N,K] @ b [2,L,Pl,K,M]."""
+        keys = jax.random.split(key, a_sh.shape[2])
         return jax.vmap(self.proto.matmul, in_axes=(0, 2, 2), out_axes=2)(
             keys, a_sh, b_sh)
 
     def _scale_rows(self, key, sh, scalars_fp):
-        """sh [2,L,P,V,D] * public fp scalars [L,P,V] (broadcast over D)."""
+        """sh [2,L,Pl,V,D] * public fp scalars [L,Pl,V] (broadcast over D)."""
         return self.proto.scale_rows(key, sh, scalars_fp[..., None])
 
     # ------------------------------------------------------------------
-    def _aggregate(self, key, sh, dest_scale: bool):
+    def _aggregate(self, comm, key, arr, n0_fp, sh, dest_scale: bool):
         """Share-space Â application (scatter -> OGA -> halo -> gather)."""
-        arr, plan = self.arr, self.plan
+        plan = self.plan
         V, M, P = plan.V, plan.M, plan.num_parties
         D = sh.shape[-1]
 
@@ -164,10 +245,11 @@ class MpcGasEngine:
         send = jax.vmap(
             lambda v, s: _segment_sum_shares(v, s, P * M + 1),
             in_axes=(2, 0), out_axes=2)(rvals, arr.rem_seg)[:, :, :, :P * M]
-        send = send.reshape(*send.shape[:2], P, P, M, D)
+        send = send.reshape(*send.shape[:2], -1, P, M, D)
 
-        # halo exchange (stacked): recv[:, :, me, i] = send[:, :, i, me]
-        recv = jnp.swapaxes(send, 2, 3)
+        # halo exchange: recv[:, :, me, i] = send[:, :, i, me]
+        # (mirror-update shipping, ss_…h:1089-1100)
+        recv = comm.halo(send)
 
         # scatter mirror rows into local order (unique targets per pair ->
         # no accumulation, raw u32 scatter is exact)
@@ -194,12 +276,11 @@ class MpcGasEngine:
 
         if dest_scale:
             key, k = jax.random.split(key)
-            agg = self._scale_rows(k, agg, self.n0_fp)
+            agg = self._scale_rows(k, agg, n0_fp)
         return agg
 
     # ------------------------------------------------------------------
-    def _predict_apply(self, key, z_sh):
-        arr = self.arr
+    def _predict_apply(self, key, arr, z_sh):
         y_hot = jax.nn.one_hot(arr.labels, self.param.layer_dims[-1],
                                dtype=jnp.float32)
         prob, pm_sh = self.proto.softmax_pred(key, z_sh, y_hot)
@@ -212,25 +293,27 @@ class MpcGasEngine:
         return pm_sh, metrics
 
     # ------------------------------------------------------------------
-    def _forward_body(self, key, weights_sh, x0_sh):
+    def _forward_body(self, comm, key, arr, weights_sh, x0_sh, n0_fp,
+                      inv_train_fp):
         h = x0_sh
         z_last = None
         for l in range(self.L):
             key, k1, k2 = jax.random.split(key, 3)
             h = self._pmatmul(k1, h, weights_sh[l])
             if l != 0:
-                h = self._scale_rows(k2, h, self.n0_fp)
+                h = self._scale_rows(k2, h, n0_fp)
             key, k3 = jax.random.split(key)
-            h = self._aggregate(k3, h, dest_scale=True)
+            h = self._aggregate(comm, k3, arr, n0_fp, h, dest_scale=True)
             z_last = h
             if l != self.L - 1:
                 h = self.proto.relu(h)
         prob = jax.nn.softmax(self.proto.reveal(z_last), axis=-1)
-        metrics = GasEngine._metrics(self, self.arr, prob)
+        metrics = GasEngine._metrics(self, arr, prob)
         return self.proto.reveal(z_last), prob, metrics
 
     # ------------------------------------------------------------------
-    def _epoch_body(self, key, weights_sh, x0_sh):
+    def _epoch_body(self, comm, key, arr, weights_sh, x0_sh, n0_fp,
+                    inv_train_fp):
         L, P = self.L, self.P
         proto = self.proto
         weights_sh = list(weights_sh)
@@ -244,14 +327,14 @@ class MpcGasEngine:
             key, k1, k2, k3 = jax.random.split(key, 4)
             h = self._pmatmul(k1, h, weights_sh[l])
             if l != 0:
-                h = self._scale_rows(k2, h, self.n0_fp)
-            h = self._aggregate(k3, h, dest_scale=True)
+                h = self._scale_rows(k2, h, n0_fp)
+            h = self._aggregate(comm, k3, arr, n0_fp, h, dest_scale=True)
             if l != L - 1:
                 z_mask[l] = proto.sign_mask(h)
                 h = proto.mask_mul(h, z_mask[l])
             else:
                 key, k4 = jax.random.split(key)
-                h, metrics = self._predict_apply(k4, h)
+                h, metrics = self._predict_apply(k4, arr, h)
 
         for kk, l in enumerate(reversed(range(L))):
             key, k1, k2, k3, k4, k5, k6 = jax.random.split(key, 7)
@@ -259,35 +342,35 @@ class MpcGasEngine:
             if l != L - 1:
                 h = proto.mask_mul(h, z_mask[l])
             g = self._pmatmul(k1, h, wT)
-            hs = self._scale_rows(k2, h, self.n0_fp)
+            hs = self._scale_rows(k2, h, n0_fp)
             last_phase = (L + 2 * kk + 2) == 3 * L
-            agg = self._aggregate(k3, hs, dest_scale=not last_phase)
+            agg = self._aggregate(comm, k3, arr, n0_fp, hs,
+                                  dest_scale=not last_phase)
             hT = jnp.swapaxes(h_in[l], -1, -2)
             d = self._pmatmul(k4, hT, agg)
             # per-party gradient scale 1/train_n then SGD (gcn.h:667-678)
-            d = proto.scale_rows(k5, d, self.inv_train_fp[..., None, None])
+            d = proto.scale_rows(k5, d, inv_train_fp[..., None, None])
             step = proto.scale_const(k6, d, float(self.param.learning_rate))
             weights_sh[l] = proto.sub(weights_sh[l], step)
-            weights_sh[l] = self._weight_mean(key, weights_sh[l])
+            weights_sh[l] = self._weight_mean(comm, key, weights_sh[l])
             h = g
         return weights_sh, metrics
 
-    def _weight_mean(self, key, w_sh):
+    def _weight_mean(self, comm, key, w_sh):
         """Cross-party share-sum + public 1/P scale (gcn.h:747-802)."""
         if self.P == 1:
             return w_sh
-        total = w_sh[:, :, 0]
-        for p in range(1, self.P):
-            total = self.proto.add(total, w_sh[:, :, p])
+        total = comm.weight_total(self.proto, w_sh, self.P)
         key, k = jax.random.split(key)
-        mean = self.proto.scale_const(k, total[:, :, None],
-                                      1.0 / self.P)
+        mean = self.proto.scale_const(k, total, 1.0 / self.P)
         return jnp.broadcast_to(mean, w_sh.shape)
 
     # ------------------------------------------------------------------
     def run_epoch(self):
         self._key, k = jax.random.split(self._key)
-        self.weights_sh, metrics = self._epoch(k, self.weights_sh, self.x0_sh)
+        self.weights_sh, metrics = self._epoch(
+            k, self.arr, self.weights_sh, self.x0_sh, self.n0_fp,
+            self.inv_train_fp)
         return metrics
 
     def run_epochs(self, n: int):
@@ -298,7 +381,8 @@ class MpcGasEngine:
 
     def forward(self):
         self._key, k = jax.random.split(self._key)
-        return self._forward(k, self.weights_sh, self.x0_sh)
+        return self._forward(k, self.arr, self.weights_sh, self.x0_sh,
+                             self.n0_fp, self.inv_train_fp)
 
     def reveal_weights(self) -> List[np.ndarray]:
         return [np.asarray(self.proto.reveal(w)) for w in self.weights_sh]

@@ -118,3 +118,22 @@ class TestMpcEngine:
         last = MpcGasEngine.metrics_host(mpc.run_epochs(15))
         assert last["loss"][0] < first["loss"][0]
         assert last["train_acc"].mean() > 0.7
+
+
+def test_sharded_mpc_matches_stacked():
+    """Multi-device secret-shared training == stacked (bit-identical)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
+    param = make_param(32, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 4)
+    stacked = MpcGasEngine(build_device_plan(graphs), param)
+    mesh = jax.make_mesh((4,), ("party",))
+    sharded = MpcGasEngine(build_device_plan(graphs), param,
+                           mode="sharded", mesh=mesh)
+    ms = stacked.metrics_host(stacked.run_epochs(2))
+    mh = sharded.metrics_host(sharded.run_epochs(2))
+    np.testing.assert_array_equal(mh["loss"], ms["loss"])
+    for l in range(2):
+        np.testing.assert_array_equal(sharded.reveal_weights()[l],
+                                      stacked.reveal_weights()[l])
