@@ -229,6 +229,7 @@ class GasEngine:
                 raise ValueError("sharded mode requires a mesh")
             self._epoch = self._build_sharded(self._epoch_body)
             self._forward = self._build_sharded(self._forward_body)
+            self._place_sharded()
         else:
             self._epoch = jax.jit(functools.partial(self._epoch_body, _Comm()))
             self._forward = jax.jit(
@@ -249,6 +250,17 @@ class GasEngine:
             check_vma=False,
         )
         return jax.jit(fn)
+
+    def _place_sharded(self):
+        """device_put inputs with their party shardings — required when the
+        mesh spans multiple processes (each process owns its party's shard),
+        and harmless single-process."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P("party"))
+        self.arr = jax.tree.map(lambda a: jax.device_put(a, sh), self.arr)
+        self.x0 = jax.device_put(self.x0, sh)
+        self.weights = [jax.device_put(w, sh) for w in self.weights]
 
     def _out_tree(self, body):
         # evaluate output structure abstractly for out_specs
@@ -494,6 +506,19 @@ class GasEngine:
     def metrics_host(metrics) -> Dict[str, np.ndarray]:
         """Fetch a metrics dict to host numpy (sharded arrays included)."""
         return {k: np.asarray(jax.device_get(v)) for k, v in metrics.items()}
+
+    @staticmethod
+    def metrics_local(metrics) -> Dict[str, np.ndarray]:
+        """Multi-process: this process's party shard of each metric
+        (global device_get would touch non-addressable shards)."""
+        out = {}
+        for k, v in metrics.items():
+            shards = getattr(v, "addressable_shards", None)
+            if shards:
+                out[k] = np.asarray(shards[0].data)
+            else:
+                out[k] = np.asarray(v)
+        return out
 
     def forward(self):
         return self._forward(self.arr, self.weights, self.x0)

@@ -61,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dense-aggregation", action="store_true")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="save weights every N epochs (0 = off)")
+    p.add_argument("--coordinator", default="127.0.0.1:29400",
+                   help="jax.distributed coordinator (cluster mode)")
     return p
 
 

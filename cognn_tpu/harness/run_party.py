@@ -70,6 +70,18 @@ def main(argv=None) -> int:
 
     import jax
 
+    if cfg.is_cluster:
+        # one process per party (the reference's process model,
+        # engine.h:143-222 channel mesh -> jax.distributed + party mesh)
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=cfg.tiles,
+            process_id=cfg.tile_index)
+        args.mode = "sharded"
+        print(f"party {cfg.tile_index}: joined cluster "
+              f"({jax.process_count()} processes, "
+              f"{jax.device_count()} devices)", flush=True)
+
     from cognn_tpu.engine import GasEngine, build_device_plan
 
     graphs = load_party_graphs(cfg, param)
@@ -80,6 +92,7 @@ def main(argv=None) -> int:
     mesh = None
     if args.mode == "sharded":
         mesh = jax.make_mesh((cfg.tiles,), ("party",))
+    local_metrics = cfg.is_cluster  # each process prints its own party
 
     if args.mpc:
         from cognn_tpu.core.fixedpoint import FixedPointSpec
@@ -113,10 +126,12 @@ def main(argv=None) -> int:
         for e in range(epochs):
             with duration_span("iteration"):
                 metrics = engine.run_epoch()
-            print(f"tid-> 0, iteration-> {(e + 1) * epoch_layers}")
+            tid = cfg.tile_index if cfg.is_cluster else 0
+            print(f"tid-> {tid}, iteration-> {(e + 1) * epoch_layers}")
+            host = (engine.metrics_local(metrics) if local_metrics
+                    else engine.metrics_host(metrics))
             print_metrics_reference_format(
-                engine.metrics_host(metrics),
-                num_vertices=graphs[0].num_local)
+                host, num_vertices=graphs[tid].num_local)
             if args.checkpoint_every and (e + 1) % args.checkpoint_every == 0:
                 from cognn_tpu.harness.checkpoint import save
 
@@ -124,6 +139,8 @@ def main(argv=None) -> int:
         z, prob, _ = engine.forward()
 
     # output dump (the reference's #ifdef VDATA block, harness.cpp:183-194)
+    if cfg.is_cluster:
+        return 0  # per-party processes skip the global dump
     if cfg.output_file and cfg.output_file != "-":
         logits = np.asarray(jax.device_get(z))
         with open(cfg.output_file, "w") as f:

@@ -141,8 +141,8 @@ class MpcGasEngine:
                  truncation: str = "exact", seed: int = 42,
                  prng_seed: int = 0, mode: str = "stacked",
                  mesh=None):
-        if variant not in ("opt", "opt_inference"):
-            raise ValueError("mpc engine supports opt/opt_inference")
+        if variant not in ("opt", "opt_inference", "unopt"):
+            raise ValueError(variant)
         set_split(plan, param.train_ratio, param.val_ratio)
         self.plan = plan
         self.param = param
@@ -150,7 +150,7 @@ class MpcGasEngine:
         self.proto = Protocol(fp or FixedPointSpec(), truncation)
         self.L = param.num_layers
         self.P = plan.num_parties
-        self.epoch_layers = 3 * self.L
+        self.epoch_layers = (3 if variant.startswith("opt") else 2) * self.L
         self.arr = _plan_arrays(plan, jnp.float32)
         self._key = jax.random.key(prng_seed)
         self.mode = mode
@@ -182,11 +182,26 @@ class MpcGasEngine:
         if mode == "sharded":
             self._epoch = self._build_sharded(self._epoch_body)
             self._forward = self._build_sharded(self._forward_body)
+            self._place_sharded()
         else:
             comm = _MpcComm()
             self._epoch = jax.jit(functools.partial(self._epoch_body, comm))
             self._forward = jax.jit(
                 functools.partial(self._forward_body, comm))
+
+    def _place_sharded(self):
+        """device_put inputs with their party shardings (multi-process)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        m = self.mesh
+        arr_sh = NamedSharding(m, P("party"))
+        sh_sh = NamedSharding(m, P(None, None, "party"))
+        fp_sh = NamedSharding(m, P(None, "party"))
+        self.arr = jax.tree.map(lambda a: jax.device_put(a, arr_sh), self.arr)
+        self.x0_sh = jax.device_put(self.x0_sh, sh_sh)
+        self.weights_sh = [jax.device_put(w, sh_sh) for w in self.weights_sh]
+        self.n0_fp = jax.device_put(self.n0_fp, fp_sh)
+        self.inv_train_fp = jax.device_put(self.inv_train_fp, fp_sh)
 
     def _build_sharded(self, body):
         from jax.sharding import PartitionSpec as P
@@ -314,6 +329,14 @@ class MpcGasEngine:
     # ------------------------------------------------------------------
     def _epoch_body(self, comm, key, arr, weights_sh, x0_sh, n0_fp,
                     inv_train_fp):
+        if self.variant == "unopt":
+            return self._epoch_unopt(comm, key, arr, weights_sh, x0_sh,
+                                     n0_fp, inv_train_fp)
+        return self._epoch_opt(comm, key, arr, weights_sh, x0_sh, n0_fp,
+                               inv_train_fp)
+
+    def _epoch_opt(self, comm, key, arr, weights_sh, x0_sh, n0_fp,
+                   inv_train_fp):
         L, P = self.L, self.P
         proto = self.proto
         weights_sh = list(weights_sh)
@@ -356,6 +379,53 @@ class MpcGasEngine:
             h = g
         return weights_sh, metrics
 
+    def _epoch_unopt(self, comm, key, arr, weights_sh, x0_sh, n0_fp,
+                     inv_train_fp):
+        """CoGNN (original-gcn) 2L-phase epoch in share space — aggregation
+        before the matmul, fused per-layer backward (original-gcn
+        `gcn.h:440-631`; normalization note in models/oracle.py)."""
+        L = self.L
+        proto = self.proto
+        weights_sh = list(weights_sh)
+        h = x0_sh
+        ah: list = [None] * L
+        z_mask: list = [None] * L
+        metrics = None
+
+        for l in range(L):
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            if l != 0:
+                h = self._scale_rows(k1, h, n0_fp)
+            h = self._aggregate(comm, k2, arr, n0_fp, h, dest_scale=True)
+            ah[l] = h
+            zz = self._pmatmul(k3, h, weights_sh[l])
+            if l != L - 1:
+                z_mask[l] = proto.sign_mask(zz)
+                h = proto.mask_mul(zz, z_mask[l])
+            else:
+                key, k4 = jax.random.split(key)
+                h, metrics = self._predict_apply(k4, arr, zz)
+
+        for kk, l in enumerate(reversed(range(L))):
+            key, k1, k2, k3, k4, k5, k6 = jax.random.split(key, 7)
+            if l != L - 1:
+                h = proto.mask_mul(h, z_mask[l])
+            wT = jnp.swapaxes(weights_sh[l], -1, -2)
+            g = self._pmatmul(k1, h, wT)
+            ahT = jnp.swapaxes(ah[l], -1, -2)
+            d = self._pmatmul(k2, ahT, h)
+            d = proto.scale_rows(k3, d, inv_train_fp[..., None, None])
+            step = proto.scale_const(k4, d, float(self.param.learning_rate))
+            weights_sh[l] = proto.sub(weights_sh[l], step)
+            weights_sh[l] = self._weight_mean(comm, key, weights_sh[l])
+            h = g
+            if l > 0:
+                h = self._scale_rows(k5, h, n0_fp)
+                last_phase = (L + kk + 2) == 2 * L
+                h = self._aggregate(comm, k6, arr, n0_fp, h,
+                                    dest_scale=not last_phase)
+        return weights_sh, metrics
+
     def _weight_mean(self, comm, key, w_sh):
         """Cross-party share-sum + public 1/P scale (gcn.h:747-802)."""
         if self.P == 1:
@@ -388,3 +458,4 @@ class MpcGasEngine:
         return [np.asarray(self.proto.reveal(w)) for w in self.weights_sh]
 
     metrics_host = staticmethod(GasEngine.metrics_host)
+    metrics_local = staticmethod(GasEngine.metrics_local)

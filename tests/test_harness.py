@@ -104,3 +104,31 @@ def test_cluster_driver_and_plots(tmp_path):
             cwd=tmp_path)
     assert r.returncode == 0, r.stderr
     assert "mean_epoch=" in r.stdout
+
+
+def test_cluster_mode_two_processes(dataset_dir, tmp_path):
+    """One OS process per party (the reference's process model) over
+    jax.distributed; each party prints its own metrics."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = []
+    env = {**ENV, "JAX_NUM_CPU_DEVICES": "1"}
+    for i in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "cognn_tpu.harness.run_party",
+             "-g", "2", "-i", str(i), "-m", "12", "-c",
+             "--coordinator", f"127.0.0.1:{port}",
+             str(dataset_dir / "cora_small.edge.preprocessed"),
+             str(dataset_dir / "cora_small.vertex.preprocessed"),
+             str(dataset_dir / "cora_small.part.preprocessed.2p"), "-",
+             str(dataset_dir / "cora_small_config.txt")],
+            cwd=tmp_path, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=300) for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, outs[i][1]
+        assert f"tid-> {i}," in outs[i][0]
+        assert "cross-entropy-loss = " in outs[i][0]

@@ -137,3 +137,22 @@ def test_sharded_mpc_matches_stacked():
     for l in range(2):
         np.testing.assert_array_equal(sharded.reveal_weights()[l],
                                       stacked.reveal_weights()[l])
+
+
+def test_unopt_mpc_tracks_oracle():
+    src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
+    param = make_param(32, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    oracle = GasOracle(build_parties(src, dst, feats, labels, 2), param,
+                       "unopt")
+    mpc = MpcGasEngine(build_device_plan(graphs), param, "unopt")
+    m = mpc.run_epochs(2)
+    oracle.run_epochs(2)
+    for l in range(2):
+        w = mpc.reveal_weights()[l]
+        for p in range(2):
+            np.testing.assert_allclose(w[p], oracle.parties[p].weights[l],
+                                       atol=5e-3)
+    om = oracle.metrics[-1]
+    np.testing.assert_allclose(float(np.asarray(m["loss"])[0]), om.loss,
+                               atol=5e-2)
