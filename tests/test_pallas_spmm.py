@@ -76,3 +76,36 @@ class TestPallasSpmm:
         k = PallasSpmm(m, interpret=True)
         got = np.asarray(k(jnp.asarray(ht)))
         assert np.abs(got[:, 128:]).max() == 0.0
+
+
+class TestPallasSddmm:
+    def test_matches_reference(self):
+        from cognn_tpu.ops.pallas_sddmm import PallasSddmm, sddmm_reference
+
+        V, E, D = 512, 3000, 16
+        src, dst = random_edges(V, E)
+        # dedupe (block values must be 0/1 for the mask semantics)
+        key = src * V + dst
+        _, idx = np.unique(key, return_index=True)
+        src, dst = src[idx], dst[idx]
+        m = build_bcsr(src, dst, V, V)
+        A = RNG.normal(size=(V, D)).astype(np.float32)
+        B = RNG.normal(size=(V, D)).astype(np.float32)
+        pad = m.n_src_blocks * BLOCK
+        at = np.zeros((D, pad), np.float32)
+        bt = np.zeros((D, pad), np.float32)
+        at[:, :V] = A.T
+        bt[:, :V] = B.T
+        k = PallasSddmm(m, interpret=True)
+        blocks = np.asarray(k(jnp.asarray(at), jnp.asarray(bt)))
+        got = np.asarray(k.edge_scores(blocks, src, dst))
+        ref = np.asarray(sddmm_reference(src, dst, A, B))
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 5e-3
+        # non-edge positions are masked to zero
+        zb = blocks[0].copy()
+        i, j = m.bi[0], m.bj[0]
+        pattern = np.zeros((BLOCK, BLOCK), bool)
+        sel = (src // BLOCK == i) & (dst // BLOCK == j)
+        pattern[src[sel] % BLOCK, dst[sel] % BLOCK] = True
+        assert np.abs(zb[~pattern]).max() == 0.0

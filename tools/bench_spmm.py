@@ -82,6 +82,19 @@ def main():
     rel = np.abs(got - U).max() / max(np.abs(U).max(), 1e-9)
     print(f"correctness: rel err {rel:.2e} (bf16 operand rounding)")
 
+    # SDDMM companion (per-edge scores over the same block structure)
+    from cognn_tpu.ops.pallas_sddmm import PallasSddmm
+
+    sd = PallasSddmm(m)
+    jax.block_until_ready(sd(x, x))
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(sd(x, x))
+        times.append(time.perf_counter() - t0)
+    t3 = min(times)
+    print(f"pallas sddmm:     {t3*1e3:.3f} ms  {E/t3/1e9:.2f} Gedge/s")
+
 
 if __name__ == "__main__":
     main()
