@@ -50,8 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("output_file")
     p.add_argument("gnn_config_file")
     # TPU-native extensions
-    p.add_argument("--variant", choices=["opt", "unopt", "inference"],
-                   default="opt")
+    p.add_argument("--variant",
+                   choices=["opt", "unopt", "inference", "ss"],
+                   default="opt",
+                   help="ss = the reference's gcn-ss build: the unopt "
+                        "(fused original-style) schedule in share space")
     p.add_argument("--mpc", action="store_true",
                    help="secret-shared execution (additive shares, Z_2^64)")
     p.add_argument("--mode", choices=["stacked", "sharded"], default="stacked")
@@ -85,5 +88,6 @@ def to_run_config(args: argparse.Namespace) -> RunConfig:
         gnn_config_file=args.gnn_config_file,
         ring_bits=args.ring_bits,
         scaler_bits=args.scaler_bits,
-        variant={"inference": "opt_inference"}.get(args.variant, args.variant),
+        variant={"inference": "opt_inference",
+                 "ss": "unopt"}.get(args.variant, args.variant),
     )

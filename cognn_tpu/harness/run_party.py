@@ -94,6 +94,8 @@ def main(argv=None) -> int:
         mesh = jax.make_mesh((cfg.tiles,), ("party",))
     local_metrics = cfg.is_cluster  # each process prints its own party
 
+    if args.variant == "ss":
+        args.mpc = True  # gcn-ss is the secret-shared fused-schedule build
     if args.mpc:
         from cognn_tpu.core.fixedpoint import FixedPointSpec
         from cognn_tpu.core.ring import RING32, RING64
