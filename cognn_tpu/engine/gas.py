@@ -67,9 +67,9 @@ class _ShardedComm:
     jax.tree_util.register_dataclass,
     data_fields=[
         "vertex_mask", "in_deg", "border", "labels", "num_local", "train_n",
-        "val_n", "loc_src", "loc_seg", "loc_valid", "rem_src", "rem_seg",
-        "rem_valid", "recv_target", "recv_mask", "gather_ok_self",
-        "gather_ok_from",
+        "val_n", "train_mask", "val_mask", "loc_src", "loc_seg", "loc_valid",
+        "rem_src", "rem_seg", "rem_valid", "recv_target", "recv_mask",
+        "gather_ok_self", "gather_ok_from",
     ],
     meta_fields=[],
 )
@@ -84,6 +84,8 @@ class _PlanArrays:
     num_local: jnp.ndarray
     train_n: jnp.ndarray
     val_n: jnp.ndarray
+    train_mask: jnp.ndarray
+    val_mask: jnp.ndarray
     loc_src: jnp.ndarray
     loc_seg: jnp.ndarray
     loc_valid: jnp.ndarray
@@ -110,6 +112,8 @@ def _plan_arrays(plan: DevicePlan, dtype) -> _PlanArrays:
         num_local=jnp.asarray(plan.num_local),
         train_n=jnp.asarray(plan.train_n),
         val_n=jnp.asarray(plan.val_n),
+        train_mask=jnp.asarray(plan.train_mask),
+        val_mask=jnp.asarray(plan.val_mask),
         loc_src=jnp.asarray(plan.loc_src),
         loc_seg=jnp.asarray(plan.loc_seg),
         loc_valid=jnp.asarray(plan.loc_valid),
@@ -338,11 +342,9 @@ class GasEngine:
 
     # ------------------------------------------------------------------
     def _metrics(self, arr: _PlanArrays, prob: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        V = self.plan.V
-        pos = jnp.arange(V)[None, :]
         valid = arr.vertex_mask
-        train = valid & (pos < arr.train_n[:, None])
-        test = valid & (pos >= (arr.train_n + arr.val_n)[:, None])
+        train = arr.train_mask
+        test = valid & ~arr.train_mask & ~arr.val_mask
         border = arr.border
 
         y_hot = jax.nn.one_hot(arr.labels, prob.shape[-1], dtype=prob.dtype)
@@ -374,9 +376,7 @@ class GasEngine:
         metrics = self._metrics(arr, prob)
         y_hot = jax.nn.one_hot(arr.labels, h.shape[-1], dtype=h.dtype)
         pm = prob - y_hot
-        pos = jnp.arange(self.plan.V)[None, :]
-        train = arr.vertex_mask & (pos < arr.train_n[:, None])
-        pm = jnp.where(train[..., None], pm, 0)
+        pm = jnp.where(arr.train_mask[..., None], pm, 0)
         return pm, metrics
 
     # ------------------------------------------------------------------

@@ -49,6 +49,14 @@ class DevicePlan:
     M: int  # padded per-peer mirror count
     num_local: np.ndarray  # int32[P] true local vertex counts
     vertex_mask: np.ndarray  # bool[P, V]
+    # train/val/test membership masks. The split is POSITIONAL in the
+    # ascending-vid local order (gcn.h:561-563); with vertex reordering the
+    # split follows the vertices, so masks (not slices) carry it.
+    train_mask: np.ndarray = None  # bool[P, V]
+    val_mask: np.ndarray = None  # bool[P, V]
+    # vertex_order[p, new_idx] = original ascending-vid local index (identity
+    # unless reorder=True); callers mapping engine outputs back to vids use it
+    vertex_order: np.ndarray = None  # int32[P, V]
     in_deg: np.ndarray  # f32[P, V] global in-degree (0 on padding)
     border: np.ndarray  # bool[P, V]
     labels: np.ndarray  # int32[P, V]
@@ -82,10 +90,15 @@ DENSE_ADJ_BUDGET = 1 << 28  # elements (1 GiB f32): dense-A auto-select cap
 
 def build_device_plan(graphs: List[PartyGraph], *, lane: int = 8,
                       feature_dtype=np.float32,
-                      dense: Optional[bool] = None) -> DevicePlan:
+                      dense: Optional[bool] = None,
+                      reorder: bool = False) -> DevicePlan:
     """``lane`` rounds padded dims up (use >=8 on TPU for sublane alignment).
 
-    ``dense``: build the dense blocked adjacency (None = auto by size)."""
+    ``dense``: build the dense blocked adjacency (None = auto by size).
+    ``reorder``: BFS-reorder each party's local vertices for aggregation
+    block locality (the reference's reorderedIndex, `graph.h`); semantics
+    are unchanged — the train/val/test split and metrics follow the
+    vertices via masks."""
     P = len(graphs)
     V = round_up(max(g.num_local for g in graphs), lane)
     E_loc = round_up(max(g.blocks[g.tile_index].num_slots for g in graphs),
@@ -180,6 +193,44 @@ def build_device_plan(graphs: List[PartyGraph], *, lane: int = 8,
                     w = graphs[j].recv_target_local[i][b.seg_id[real]]
                 np.add.at(dense_adj[i, j], (b.src_local[real], w), 1.0)
 
+    vertex_order = np.tile(np.arange(V, dtype=np.int32), (P, 1))
+    if reorder:
+        if dense:
+            raise ValueError("reorder is not supported with dense_adj")
+        from cognn_tpu.ops.bcsr import reorder_for_locality
+
+        for p, g in enumerate(graphs):
+            n = g.num_local
+            real = loc_valid[p]
+            order = reorder_for_locality(loc_src[p][real],
+                                         loc_seg[p][real], n)
+            vertex_order[p, :n] = order
+            inv = np.empty(n, np.int32)
+            inv[order] = np.arange(n, dtype=np.int32)
+            # per-vertex arrays follow the permutation
+            for a in (in_deg, border, labels):
+                a[p, :n] = a[p, :n][order]
+            if feats is not None:
+                feats[p, :n] = feats[p, :n][order]
+            gather_ok[p, :, :n] = gather_ok[p, :, :n][:, order]
+            # index plans are remapped old->new
+
+            def remap(vals, limit):
+                sel = vals < limit
+                vals[sel] = inv[vals[sel]]
+
+            remap(loc_src[p], n)
+            remap(loc_seg[p], n)  # real segments are < n; padding stays V
+            remap(rem_src[p], n)
+            for i in range(P):
+                remap(recv_target[p, i], n)
+            # keep local slots destination-sorted for segment_sum
+            resort = np.argsort(loc_seg[p], kind="stable")
+            loc_src[p] = loc_src[p][resort]
+            loc_seg[p] = loc_seg[p][resort]
+            loc_valid[p] = loc_valid[p][resort]
+            loc_weight[p] = loc_weight[p][resort]
+
     train_n = np.array([g.num_local for g in graphs], np.int32)  # placeholder
     val_n = np.zeros(P, np.int32)
     return DevicePlan(
@@ -191,11 +242,20 @@ def build_device_plan(graphs: List[PartyGraph], *, lane: int = 8,
         rem_src=rem_src, rem_seg=rem_seg, rem_valid=rem_valid,
         rem_weight=rem_weight,
         recv_target=recv_target, recv_mask=recv_mask, gather_ok=gather_ok,
-        features=feats, dense_adj=dense_adj,
+        features=feats, dense_adj=dense_adj, vertex_order=vertex_order,
     )
 
 
 def set_split(plan: DevicePlan, train_ratio: float, val_ratio: float) -> None:
-    """Positional split sizes per party (gcn.h:561-563 truncating casts)."""
+    """Split sizes + membership masks per party. The split is positional in
+    the ORIGINAL ascending-vid local order (gcn.h:561-563 truncating casts);
+    masks translate it through any vertex reordering."""
     plan.train_n = (plan.num_local * train_ratio).astype(np.int32)
     plan.val_n = (plan.num_local * val_ratio).astype(np.int32)
+    P, V = plan.vertex_order.shape
+    orig_pos = plan.vertex_order  # [P, V] new_idx -> original position
+    plan.train_mask = ((orig_pos < plan.train_n[:, None])
+                       & plan.vertex_mask)
+    plan.val_mask = ((orig_pos >= plan.train_n[:, None])
+                     & (orig_pos < (plan.train_n + plan.val_n)[:, None])
+                     & plan.vertex_mask)

@@ -299,10 +299,8 @@ class MpcGasEngine:
         y_hot = jax.nn.one_hot(arr.labels, self.param.layer_dims[-1],
                                dtype=jnp.float32)
         prob, pm_sh = self.proto.softmax_pred(key, z_sh, y_hot)
-        # zero gradients outside the local train slice (gcn.h:636-641)
-        pos = jnp.arange(self.plan.V)[None, :]
-        train = arr.vertex_mask & (pos < arr.train_n[:, None])
-        pm_sh = self.proto.mask_mul(pm_sh, train[..., None])
+        # zero gradients outside the local train split (gcn.h:636-641)
+        pm_sh = self.proto.mask_mul(pm_sh, arr.train_mask[..., None])
         helper = GasEngine._metrics
         metrics = helper(self, arr, prob)  # reuse the plaintext metric defs
         return pm_sh, metrics

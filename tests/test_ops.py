@@ -106,3 +106,38 @@ class TestBcsrAggregationBackend:
         rel = np.abs(np.asarray(zb) - np.asarray(zs)).max() / (
             np.abs(np.asarray(zs)).max())
         assert rel < 5e-3  # bf16 operand rounding in the kernel
+
+
+class TestReorder:
+    @pytest.mark.parametrize("n_parties", [1, 2])
+    def test_reorder_preserves_semantics(self, n_parties):
+        """BFS-reordered plan trains identically (weights + metrics)."""
+        src, dst, feats, labels = make_dataset(n=48, m=300, homophily=0.7)
+        param = make_param(48, feats.shape[1], labels.max() + 1)
+        graphs = build_parties(src, dst, feats, labels, n_parties)
+        base = GasEngine(build_device_plan(graphs), param)
+        reord = GasEngine(build_device_plan(graphs, reorder=True), param)
+        mb = GasEngine.metrics_host(base.run_epochs(3))
+        mr = GasEngine.metrics_host(reord.run_epochs(3))
+        np.testing.assert_allclose(mr["loss"], mb["loss"], atol=1e-5)
+        np.testing.assert_allclose(mr["train_acc"], mb["train_acc"])
+        np.testing.assert_allclose(mr["border_test_acc"],
+                                   mb["border_test_acc"])
+        for l in range(2):
+            np.testing.assert_allclose(np.asarray(reord.weights[l]),
+                                       np.asarray(base.weights[l]),
+                                       atol=1e-5)
+
+    def test_reorder_bcsr_backend(self):
+        src, dst, feats, labels = make_dataset(n=48, m=300, homophily=0.7)
+        param = make_param(48, feats.shape[1], labels.max() + 1)
+        graphs = build_parties(src, dst, feats, labels, 2)
+        base = GasEngine(build_device_plan(graphs), param)
+        reord = GasEngine(build_device_plan(graphs, reorder=True), param,
+                          aggregation="bcsr")
+        zb, _, _ = base.forward()
+        mb = GasEngine.metrics_host(base._forward(base.arr, base.weights,
+                                                  base.x0)[2])
+        mr = GasEngine.metrics_host(reord.forward()[2])
+        np.testing.assert_allclose(mr["loss"], mb["loss"], atol=1e-3)
+        np.testing.assert_allclose(mr["full_acc"], mb["full_acc"])
