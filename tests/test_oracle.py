@@ -187,3 +187,29 @@ class TestPartitionConsistency:
             for p in range(1, 3):
                 np.testing.assert_allclose(o.parties[p].weights[layer],
                                            o.parties[0].weights[layer])
+
+
+class TestGoldenRegression:
+    """Pin recorded GOLDEN.md numbers (CPU f32 deterministic) to catch
+    semantic drift in the schedule implementation."""
+
+    def test_cora_2p_30_epochs(self):
+        from cognn_tpu.engine import GasEngine, build_device_plan
+        from cognn_tpu.harness.datasets import synthetic_planetoid
+
+        ds = synthetic_planetoid("cora")
+        n = len(ds.features)
+        vids = np.arange(n)
+        tid = {v: v % 2 for v in range(n)}
+        graphs = []
+        for p in range(2):
+            g = build_party_graph(ds.src, ds.dst, None, tid, p, 2,
+                                  all_vids=vids)
+            g.set_vertex_data(vids, ds.features, ds.labels)
+            graphs.append(g)
+        eng = GasEngine(build_device_plan(graphs, lane=128), ds.param)
+        m = GasEngine.metrics_host(eng.run_epochs(30))
+        # trajectory point en route to the GOLDEN.md 90-epoch values
+        assert m["test_acc"].mean() > 0.85
+        assert m["border_test_acc"].mean() > 0.85
+        assert m["loss"].mean() < 0.55
