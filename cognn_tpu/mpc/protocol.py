@@ -55,6 +55,10 @@ class Protocol:
 
     fp: FixedPointSpec = dataclasses.field(default_factory=FixedPointSpec)
     truncation: str = "exact"  # "exact" | "probabilistic"
+    # "small" exploits |reconstructed value| < 2^31 (true for fixed-point
+    # activations at f<=16) — 24 MXU dots instead of 36; "full" is the
+    # general kernel valid for any 64-bit operands.
+    matmul_path: str = "small"  # "small" | "full"
 
     @property
     def ring(self) -> RingSpec:
@@ -120,7 +124,12 @@ class Protocol:
         (sci::twoPartyGCNMatMul equivalent)."""
         a = self.reconstruct_ring(a_sh)
         b = self.reconstruct_ring(b_sh)
-        prod = ring_matmul(a, b, bits=self.ring.bits)  # 2f scale
+        if self.matmul_path == "small" and self.ring.bits == 64:
+            from cognn_tpu.ops.intmatmul import ring_matmul_small
+
+            prod = ring_matmul_small(a, b)  # 2f scale
+        else:
+            prod = ring_matmul(a, b, bits=self.ring.bits)
         return self._trunc_ring(key, prod, self.f)
 
     def scale_rows(self, key: jax.Array, sh: jnp.ndarray,

@@ -96,6 +96,74 @@ def _ring_add2(a, b):
     return jnp.stack([lo, a[1] + b[1] + c])
 
 
+def _ring_sub2(a, b):
+    lo = a[0] - b[0]
+    borrow = (a[0] < b[0]).astype(_U32)
+    return jnp.stack([lo, a[1] - b[1] - borrow])
+
+
+@jax.jit
+def ring_matmul_small(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Exact A @ B mod 2^64 for SMALL operands: both matrices' signed values
+    must fit int32 (|x| < 2^31 — e.g. reconstructed fixed-point activations,
+    NOT uniformly random shares). Exploits sign-extension structure:
+
+        x mod 2^64 = lo_x + 2^32 * (-s_x)    with s_x = sign bit
+
+        sum x*w = sum full64(lo_x * lo_w)
+                  - 2^32 * (sum lo_x * s_w + sum s_x * lo_w)   (mod 2^64)
+
+    16 low-product int8 dots + 8 sign-mask dots = 24 MXU dots (vs 36 for the
+    general kernel). Used by the MPC protocol's reconstruct-side matmuls.
+    """
+    lo_a, hi_a = a_limbs[0], a_limbs[1]
+    lo_b, hi_b = b_limbs[0], b_limbs[1]
+    K = lo_a.shape[-1]
+    A8 = _to_limbs8(lo_a[None], 4)  # [4, N, K]
+    B8 = _to_limbs8(lo_b[None], 4)  # [4, K, M]
+    sa = (hi_a >> _U32(31)).astype(jnp.int8)  # sign bits (hi is 0 or ~0)
+    sb = (hi_b >> _U32(31)).astype(jnp.int8)
+
+    nblocks = max(1, -(-K // _MAX_K))
+    acc = None
+    corr = None  # mod 2^32 correction: sum lo_a*s_b + s_a*lo_b
+    for blk in range(nblocks):
+        k0, k1 = blk * _MAX_K, min(K, (blk + 1) * _MAX_K)
+        Ka = k1 - k0
+        Ab = (A8[..., k0:k1] - 128).astype(jnp.int8)
+        Bb = (B8[:, k0:k1, :] - 128).astype(jnp.int8)
+        rs = jnp.sum(Ab.astype(jnp.int32), axis=-1)
+        cs = jnp.sum(Bb.astype(jnp.int32), axis=-2)
+        const = jnp.int32(128 * 128 * Ka)
+        for i in range(4):
+            for j in range(4):
+                dot = jax.lax.dot_general(
+                    Ab[i], Bb[j], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                p = dot + 128 * rs[i][:, None] + 128 * cs[j][None, :] + const
+                contrib = _shift64(p, 8 * (i + j))
+                acc = contrib if acc is None else _ring_add2(acc, contrib)
+        # sign-mask corrections (products < 256*K fit int32; only the low 32
+        # bits of the correction matter)
+        sb_blk = sb[k0:k1]
+        sa_blk = sa[..., k0:k1]
+        for i in range(4):
+            li = jax.lax.dot_general(
+                (A8[i, :, k0:k1] - 128).astype(jnp.int8), sb_blk,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            li = li + 128 * jnp.sum(sb_blk.astype(jnp.int32), axis=0)[None, :]
+            rj = jax.lax.dot_general(
+                sa_blk, (B8[i, k0:k1] - 128).astype(jnp.int8),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            rj = rj + 128 * jnp.sum(sa_blk.astype(jnp.int32), axis=-1)[:, None]
+            term = (li + rj).astype(_U32) << _U32(8 * i)
+            corr = term if corr is None else corr + term
+    # subtract 2^32 * corr (mod 2^64): only the hi limb is affected
+    hi = acc[1] - corr
+    return jnp.stack([acc[0], hi])
+
+
 # ---------------------------------------------------------------------------
 # numpy oracle for tests
 # ---------------------------------------------------------------------------

@@ -141,3 +141,33 @@ class TestReorder:
         mr = GasEngine.metrics_host(reord.forward()[2])
         np.testing.assert_allclose(mr["loss"], mb["loss"], atol=1e-3)
         np.testing.assert_allclose(mr["full_acc"], mb["full_acc"])
+
+
+class TestSmallMatmul:
+    def test_small_operand_exact(self):
+        from cognn_tpu.ops.intmatmul import ring_matmul_small
+
+        a = RNG.integers(-2**31, 2**31, (13, 37)).astype(np.int64
+                                                         ).astype(np.uint64)
+        b = RNG.integers(-2**31, 2**31, (37, 9)).astype(np.int64
+                                                        ).astype(np.uint64)
+        got = ring_to_u64(np.asarray(ring_matmul_small(
+            jnp.asarray(ring_from_u64(a)), jnp.asarray(ring_from_u64(b)))))
+        np.testing.assert_array_equal(got, ring_matmul_np(a, b))
+
+    def test_k_blocked(self):
+        import cognn_tpu.ops.intmatmul as im
+
+        old = im._MAX_K
+        im._MAX_K = 16
+        try:
+            a = RNG.integers(-2**30, 2**30, (4, 50)).astype(np.int64
+                                                            ).astype(np.uint64)
+            b = RNG.integers(-2**30, 2**30, (50, 4)).astype(np.int64
+                                                            ).astype(np.uint64)
+            got = ring_to_u64(np.asarray(im.ring_matmul_small.__wrapped__(
+                jnp.asarray(ring_from_u64(a)),
+                jnp.asarray(ring_from_u64(b)))))
+            np.testing.assert_array_equal(got, ring_matmul_np(a, b))
+        finally:
+            im._MAX_K = old
