@@ -430,23 +430,28 @@ class GasEngine:
             else:
                 h, metrics = self._predict_apply(arr, h)
 
-        # backward: layers L-1..0, two phases each
-        for k, l in enumerate(reversed(range(L))):
-            phase = L + 2 * k  # first-of-two phase index
-            # Apply-only phase (ss_…h:709-732)
-            if l == L - 1:
+        # backward phases L..3L-1, per-iteration as the reference runs them:
+        # GAS aggregation on every phase EXCEPT phase % L == 0 (Apply-only,
+        # ss_…h:709-732); Apply alternates first/second-of-two per layer.
+        # For L=2 first-of-two always lands on the Apply-only phase; for
+        # general L the aggregation precedes first-of-two on middle layers.
+        g = None
+        for phase in range(L, 3 * L):
+            l = L - 1 - (phase - L) // 2
+            first = ((phase - L) % 2 == 0)
+            if phase % L != 0:
+                hs = h * n0  # PreScatter backward scale (gcn.h:243-254)
+                agg_scale = (phase + 1) != 3 * L  # epoch-boundary skip
+                h = self._aggregate(comm, arr, hs, dest_scale=agg_scale)
+            if first:
+                if l != L - 1:
+                    h = h * (z[l] > 0)  # BackwardNNWithoutAH relu' mask
                 g = jnp.einsum("pve,pde->pvd", h, weights[l])  # delta @ W^T
             else:
-                h = h * (z[l] > 0)  # BackwardNNWithoutAH relu' mask
-                g = jnp.einsum("pve,pde->pvd", h, weights[l])
-            # aggregation phase
-            hs = h * n0
-            last_phase = (phase + 2) == 3 * L
-            agg = self._aggregate(comm, arr, hs, dest_scale=not last_phase)
-            d = jnp.einsum("pvd,pve->pde", h_in[l], agg) * inv_train
-            weights[l] = weights[l] - lr * d
-            weights[l] = comm.weight_mean(weights[l])
-            h = g
+                d = jnp.einsum("pvd,pve->pde", h_in[l], h) * inv_train
+                weights[l] = weights[l] - lr * d
+                weights[l] = comm.weight_mean(weights[l])
+                h = g
         return weights, metrics
 
     def _epoch_unopt(self, comm, arr, weights, x0):

@@ -258,9 +258,14 @@ class GasOracle:
             for p in self.parties:
                 p.h = p.x0.copy()  # epoch reset (ss_…h:695)
         if phase != 0 and phase % fwd == 0:
-            # Apply-only iteration (backward init; ss_…h:709-732)
+            # Apply-only iteration (backward; ss_…h:709-732). The weight
+            # averaging lives inside ApplyComp (gcn.h:747-802), so a
+            # second-of-two landing here (possible only for L > 2) still
+            # averages.
             for j in range(self.n):
                 self._apply_opt(j, phase)
+            if ((phase - fwd) % 2) == 1 and self.n > 1:
+                self._average_weights(fwd - 1 - ((phase - fwd) // 2))
             return
         is_forward = phase < fwd
         # PreScatter (gcn.h:198-255)

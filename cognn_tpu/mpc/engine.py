@@ -357,24 +357,32 @@ class MpcGasEngine:
                 key, k4 = jax.random.split(key)
                 h, metrics = self._predict_apply(k4, arr, h)
 
-        for kk, l in enumerate(reversed(range(L))):
+        # backward per-iteration (see gas.py _epoch_opt for the schedule)
+        g = None
+        for phase in range(L, 3 * L):
             key, k1, k2, k3, k4, k5, k6 = jax.random.split(key, 7)
-            wT = jnp.swapaxes(weights_sh[l], -1, -2)
-            if l != L - 1:
-                h = proto.mask_mul(h, z_mask[l])
-            g = self._pmatmul(k1, h, wT)
-            hs = self._scale_rows(k2, h, n0_fp)
-            last_phase = (L + 2 * kk + 2) == 3 * L
-            agg = self._aggregate(comm, k3, arr, n0_fp, hs,
-                                  dest_scale=not last_phase)
-            hT = jnp.swapaxes(h_in[l], -1, -2)
-            d = self._pmatmul(k4, hT, agg)
-            # per-party gradient scale 1/train_n then SGD (gcn.h:667-678)
-            d = proto.scale_rows(k5, d, inv_train_fp[..., None, None])
-            step = proto.scale_const(k6, d, float(self.param.learning_rate))
-            weights_sh[l] = proto.sub(weights_sh[l], step)
-            weights_sh[l] = self._weight_mean(comm, key, weights_sh[l])
-            h = g
+            l = L - 1 - (phase - L) // 2
+            first = ((phase - L) % 2 == 0)
+            if phase % L != 0:
+                hs = self._scale_rows(k2, h, n0_fp)
+                agg_scale = (phase + 1) != 3 * L
+                h = self._aggregate(comm, k3, arr, n0_fp, hs,
+                                    dest_scale=agg_scale)
+            if first:
+                if l != L - 1:
+                    h = proto.mask_mul(h, z_mask[l])
+                wT = jnp.swapaxes(weights_sh[l], -1, -2)
+                g = self._pmatmul(k1, h, wT)
+            else:
+                hT = jnp.swapaxes(h_in[l], -1, -2)
+                d = self._pmatmul(k4, hT, h)
+                # per-party gradient scale 1/train_n, SGD (gcn.h:667-678)
+                d = proto.scale_rows(k5, d, inv_train_fp[..., None, None])
+                step = proto.scale_const(k6, d,
+                                         float(self.param.learning_rate))
+                weights_sh[l] = proto.sub(weights_sh[l], step)
+                weights_sh[l] = self._weight_mean(comm, key, weights_sh[l])
+                h = g
         return weights_sh, metrics
 
     def _epoch_unopt(self, comm, key, arr, weights_sh, x0_sh, n0_fp,

@@ -86,3 +86,24 @@ def test_sharded_matches_stacked():
                                    np.asarray(stacked.weights[l]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(mh["loss"]),
                                np.asarray(ms["loss"]), atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["opt", "unopt"])
+def test_three_layer_gcn(variant):
+    """L=3 generalization (the reference hardcodes 2 layers in its init;
+    the schedule math generalizes and our engines support any L)."""
+    src, dst, feats, labels = make_dataset(n=48, m=300, homophily=0.7)
+    param = make_param(48, feats.shape[1], labels.max() + 1, layers=3)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    oracle = GasOracle(build_parties(src, dst, feats, labels, 2), param,
+                       variant)
+    engine = GasEngine(build_device_plan(graphs), param, variant)
+    assert engine.epoch_layers == (9 if variant == "opt" else 6)
+    m = engine.run_epochs(2)
+    oracle.run_epochs(2)
+    for p in range(2):
+        for l in range(3):
+            np.testing.assert_allclose(
+                np.asarray(engine.weights[l][p]),
+                oracle.parties[p].weights[l], atol=1e-3,
+                err_msg=f"party {p} layer {l}")

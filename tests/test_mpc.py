@@ -156,3 +156,18 @@ def test_unopt_mpc_tracks_oracle():
     om = oracle.metrics[-1]
     np.testing.assert_allclose(float(np.asarray(m["loss"])[0]), om.loss,
                                atol=5e-2)
+
+
+def test_three_layer_mpc_tracks_oracle():
+    src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
+    param = make_param(32, feats.shape[1], labels.max() + 1, layers=3)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    oracle = GasOracle(build_parties(src, dst, feats, labels, 2), param)
+    mpc = MpcGasEngine(build_device_plan(graphs), param)
+    mpc.run_epochs(1)
+    oracle.run_epochs(1)
+    for l in range(3):
+        w = mpc.reveal_weights()[l]
+        for p in range(2):
+            np.testing.assert_allclose(w[p], oracle.parties[p].weights[l],
+                                       atol=5e-3)
