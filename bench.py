@@ -27,8 +27,38 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _device_healthy(timeout_s: float = 240.0) -> bool:
+    """Probe the accelerator with a tiny op under a watchdog (the tunneled
+    chip can wedge; better an explicit record than a hung bench)."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    ok = []
+
+    def probe():
+        try:
+            jax.block_until_ready(jnp.ones(8).sum())
+            ok.append(True)
+        except Exception:  # noqa: BLE001
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     import jax
+
+    if not _device_healthy():
+        log("ERROR: accelerator unreachable (device probe timed out); "
+            "emitting value 0 so the round records the outage")
+        print(json.dumps({"metric": "edge_iters_per_s", "value": 0,
+                          "unit": "edge-iters/s", "vs_baseline": 0}))
+        return
 
     from cognn_tpu.engine import GasEngine, build_device_plan
     from cognn_tpu.graph import build_party_graph

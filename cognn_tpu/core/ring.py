@@ -15,7 +15,6 @@ numpy <-> uint64 converters are provided for host-side code and tests.
 from __future__ import annotations
 
 import dataclasses
-from typing import Union
 
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 from pathlib import Path
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 
@@ -97,7 +97,6 @@ def synthetic_planetoid(name: str, seed: int = 0,
 def load_planetoid_raw(root: str | Path, name: str) -> Dataset:
     """Load pre-downloaded PyG Planetoid raw pickles (ind.<name>.* files)."""
     import pickle
-    import sys
 
     root = Path(root)
     nm = name.lower()

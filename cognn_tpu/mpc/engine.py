@@ -23,7 +23,7 @@ State layout: uint32[2(share), L(limb), P(party), ...].
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ import numpy as np
 from cognn_tpu.config import GNNParam
 from cognn_tpu.core.fixedpoint import FixedPointSpec
 from cognn_tpu.core.ring import ring_add
-from cognn_tpu.engine.gas import GasEngine, _PlanArrays, _plan_arrays, norm0
+from cognn_tpu.engine.gas import GasEngine, _plan_arrays, norm0
 from cognn_tpu.engine.plan import DevicePlan, set_split
 from cognn_tpu.mpc.protocol import Protocol
 from cognn_tpu.utils.glibc_rand import glorot_init

@@ -34,7 +34,6 @@ import numpy as np
 
 from cognn_tpu.core.fixedpoint import FixedPointSpec
 from cognn_tpu.core.ring import (
-    RING64,
     RingSpec,
     ring_add,
     ring_arith_shift_right,

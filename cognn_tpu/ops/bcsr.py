@@ -16,7 +16,7 @@ vertex too, `graph.h`) that typically shrinks nnz blocks severalfold.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

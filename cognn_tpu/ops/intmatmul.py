@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cognn_tpu.core.ring import RingSpec, RING64, _add_carry
+from cognn_tpu.core.ring import _add_carry
 
 _U32 = jnp.uint32
 _MAX_K = 32768

@@ -1,6 +1,6 @@
 import sys, time, json
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
-import numpy as np, jax
+import numpy as np
 from cognn_tpu.engine import GasEngine, build_device_plan
 from cognn_tpu.graph import build_party_graph
 from cognn_tpu.harness.datasets import synthetic_planetoid

@@ -178,8 +178,6 @@ def main():
                          f"unopt_accuracy_{p}p")
             print(f"unopt accuracy {p} parties done")
     if args.cognn_opt_efficiency:
-        from cognn_tpu.harness.datasets import DATASET_STATS
-
         for k in (args.parties or [2, 3, 4, 5]):
             # scaler subset ks: first k/5 blocks of the graph, k parties
             n = len(ds.features)
