@@ -15,12 +15,16 @@ Extra context lines go to stderr; stdout carries only the JSON line.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_EDGE_ITERS_PER_S = 5300.0
+ATTEMPT_TIMEOUT_S = 240
+MAX_ATTEMPTS = 3
 
 
 def log(*a):
@@ -90,8 +94,9 @@ def main():
     jax.block_until_ready(engine.weights)
     log(f"compile+first epoch: {time.perf_counter() - t0:.2f}s")
 
-    # timed epochs
-    reps = 20
+    # timed epochs (few reps: the tunneled chip occasionally drops a reply
+    # and wedges the dispatching process — keep the exposure window short)
+    reps = 8
     t0 = time.perf_counter()
     for _ in range(reps):
         m = engine.run_epoch()
@@ -110,5 +115,32 @@ def main():
     }))
 
 
+def supervised_main():
+    """Run the measurement in a worker subprocess with timeout + retries:
+    a wedged dispatch (lost tunnel reply) hangs its process forever, but the
+    device itself stays healthy for a fresh process."""
+    for attempt in range(MAX_ATTEMPTS):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                capture_output=True, text=True, timeout=ATTEMPT_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            log(f"attempt {attempt + 1}: worker timed out (wedged dispatch);"
+                " retrying in a fresh process")
+            continue
+        sys.stderr.write(out.stderr)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+        log(f"attempt {attempt + 1}: no result (exit {out.returncode})")
+    log("ERROR: all attempts failed; emitting 0")
+    print(json.dumps({"metric": "edge_iters_per_s", "value": 0,
+                      "unit": "edge-iters/s", "vs_baseline": 0}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        main()
+    else:
+        supervised_main()
