@@ -171,3 +171,20 @@ def test_three_layer_mpc_tracks_oracle():
         for p in range(2):
             np.testing.assert_allclose(w[p], oracle.parties[p].weights[l],
                                        atol=5e-3)
+
+
+def test_phase_compile_mode_matches_epoch():
+    """compile_mode='phase' (many small jits) == whole-epoch jit: with exact
+    truncation the value path is deterministic regardless of share
+    randomness, so revealed weights match exactly."""
+    src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
+    param = make_param(32, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    a = MpcGasEngine(build_device_plan(graphs), param)
+    b = MpcGasEngine(build_device_plan(graphs), param, compile_mode="phase")
+    ma = a.metrics_host(a.run_epochs(2))
+    mb = b.metrics_host(b.run_epochs(2))
+    np.testing.assert_allclose(mb["loss"], ma["loss"], atol=1e-6)
+    for l in range(2):
+        np.testing.assert_allclose(b.reveal_weights()[l],
+                                   a.reveal_weights()[l], atol=1e-6)
