@@ -302,24 +302,28 @@ class GasEngine:
             agg = agg * norm0(arr.in_deg)[..., None] if dest_scale else agg
             return agg
 
-        # local slots: gather rows, mask dummies, segment-sum by local dst
-        lvals = _take_rows(h, arr.loc_src)
-        lvals = jnp.where(arr.loc_valid[..., None], lvals, 0)
-        loc_upd = jax.vmap(
-            lambda v, s: segment_sum_rows(v, s, V + 1))(lvals, arr.loc_seg
-                                                        )[:, :V]
-
-        # remote slots: segment-sum into per-destination-party mirror rows
+        # remote slots FIRST: segment-sum into per-destination-party mirror
+        # rows and issue the halo exchange, so the collective is in flight
+        # while the local aggregation below computes (the overlap the
+        # reference achieves with its semaphore dance, ss_…h:838-841;
+        # here XLA's scheduler hides the ICI latency behind independent work)
         rvals = _take_rows(h, arr.rem_src)
         rvals = jnp.where(arr.rem_valid[..., None], rvals, 0)
         send = jax.vmap(
             lambda v, s: segment_sum_rows(v, s, P * M + 1))(rvals, arr.rem_seg
                                                             )[:, :P * M]
         send = send.reshape(-1, P, M, D)
-
         # halo exchange over ICI (the reference's mirror-update shipping,
         # ss_…h:1089-1100)
         recv = comm.halo(send)  # [Pl, P, M, D]; [:, i] = rows from party i
+
+        # local slots (overlaps the collective): gather rows, mask dummies,
+        # segment-sum by local destination
+        lvals = _take_rows(h, arr.loc_src)
+        lvals = jnp.where(arr.loc_valid[..., None], lvals, 0)
+        loc_upd = jax.vmap(
+            lambda v, s: segment_sum_rows(v, s, V + 1))(lvals, arr.loc_seg
+                                                        )[:, :V]
 
         # scatter received mirror rows into local vertex order
         def scatter_one(rows, tgt, mask):

@@ -66,6 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save weights every N epochs (0 = off)")
     p.add_argument("--coordinator", default="127.0.0.1:29400",
                    help="jax.distributed coordinator (cluster mode)")
+    p.add_argument("--jax-profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the run")
     return p
 
 

@@ -116,6 +116,12 @@ def main(argv=None) -> int:
         if restored:
             print(f"restored checkpoint from {ckpt_dir}")
 
+    profile_ctx = None
+    if args.jax_profile:
+        profile_ctx = jax.profiler.trace(args.jax_profile)
+        profile_ctx.__enter__()
+        print(f"profiling to {args.jax_profile}")
+
     epoch_layers = engine.epoch_layers
     if cfg.variant == "opt_inference":
         with duration_span("iteration"):
@@ -138,6 +144,10 @@ def main(argv=None) -> int:
 
                 save(engine, ckpt_dir, e + 1)
         z, prob, _ = engine.forward()
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        print(f"profile written to {args.jax_profile}")
 
     # output dump (the reference's #ifdef VDATA block, harness.cpp:183-194)
     if cfg.is_cluster:
