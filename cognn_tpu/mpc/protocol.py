@@ -164,6 +164,35 @@ class Protocol:
         (sci::twoPartyGCNRelu equivalent)."""
         return self.mask_mul(sh, self.sign_mask(sh))
 
+    # -- comparison / MIN family ------------------------------------------
+    # The reference routes analytic MIN combines through its HE payload path
+    # (DECRYPT_MIN_WITH_PARENT / MIN_WITH_PARENT, `task/task.h:11-32`) whose
+    # comparison is an interactive 2PC millionaires' step. Here it is the
+    # same reconstruct-and-mask sign test as relu (SURVEY.md §7.3 trade).
+    def less_mask(self, a_sh: jnp.ndarray, b_sh: jnp.ndarray) -> jnp.ndarray:
+        """Public 0/1 mask of (a < b): sign test on b - a."""
+        return self.sign_mask(self.sub(b_sh, a_sh))
+
+    def select(self, mask: jnp.ndarray, a_sh: jnp.ndarray,
+               b_sh: jnp.ndarray) -> jnp.ndarray:
+        """Elementwise ``mask ? a : b`` on shares — linear: exactly one
+        operand survives per element, so the u32 blend is carry-free."""
+        m = mask.astype(_U32)[None, None]
+        return a_sh * m + b_sh * (_U32(1) - m)
+
+    def minimum(self, a_sh: jnp.ndarray, b_sh: jnp.ndarray) -> jnp.ndarray:
+        """Shared elementwise min — the MIN combine of the analytics
+        workload family (bfs/cc/sssp)."""
+        return self.select(self.less_mask(a_sh, b_sh), a_sh, b_sh)
+
+    def add_public(self, sh: jnp.ndarray, pub_ring: jnp.ndarray
+                   ) -> jnp.ndarray:
+        """Add a public ring value (limb-leading, broadcastable) to a share
+        tensor — added to share 0 only, the standard additive-sharing form
+        of a public constant."""
+        s0 = ring_add(self.ring, sh[0], pub_ring)
+        return jnp.concatenate([s0[None], sh[1:]], axis=0)
+
     def softmax_pred(self, key: jax.Array, z_sh: jnp.ndarray,
                      y_onehot: jnp.ndarray
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
