@@ -131,6 +131,22 @@ def _take_rows(h: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(lambda hp, ip: hp[ip])(h, idx)
 
 
+def _party_edges(plan: DevicePlan, p: int):
+    """Party p's real edge endpoints as (local src, GLOBAL flat dst)."""
+    V, M = plan.V, plan.M
+    real = plan.loc_valid[p]
+    srcs = [plan.loc_src[p][real].astype(np.int64)]
+    dsts = [p * V + plan.loc_seg[p][real].astype(np.int64)]
+    rr = plan.rem_valid[p]
+    seg = plan.rem_seg[p][rr].astype(np.int64)
+    j = seg // M
+    mir = seg % M
+    tgt = plan.recv_target[j, p, mir].astype(np.int64)
+    srcs.append(plan.rem_src[p][rr].astype(np.int64))
+    dsts.append(j * V + tgt)
+    return np.concatenate(srcs), np.concatenate(dsts)
+
+
 def _build_bcsr_spmm(plan: DevicePlan):
     """Flatten all parties' real edge slots into one global (P*V)^2 BCSR
     matrix and bind the Pallas SpMM kernel (stacked mode: the halo exchange
@@ -138,19 +154,12 @@ def _build_bcsr_spmm(plan: DevicePlan):
     from cognn_tpu.ops.bcsr import BLOCK, build_bcsr
     from cognn_tpu.ops.pallas_spmm import PallasSpmm
 
-    P, V, M = plan.num_parties, plan.V, plan.M
+    P, V = plan.num_parties, plan.V
     srcs, dsts = [], []
     for p in range(P):
-        real = plan.loc_valid[p]
-        srcs.append(p * V + plan.loc_src[p][real].astype(np.int64))
-        dsts.append(p * V + plan.loc_seg[p][real].astype(np.int64))
-        rr = plan.rem_valid[p]
-        seg = plan.rem_seg[p][rr].astype(np.int64)
-        j = seg // M
-        mir = seg % M
-        tgt = plan.recv_target[j, p, mir].astype(np.int64)
-        srcs.append(p * V + plan.rem_src[p][rr].astype(np.int64))
-        dsts.append(j * V + tgt)
+        s, d = _party_edges(plan, p)
+        srcs.append(p * V + s)
+        dsts.append(d)
     n = P * V
     m = build_bcsr(np.concatenate(srcs), np.concatenate(dsts), n, n)
     spmm = PallasSpmm(m)
@@ -169,6 +178,41 @@ def _build_bcsr_spmm(plan: DevicePlan):
         return out[:D, :n].T.reshape(Pp, Vv, D)
 
     return apply
+
+
+def _build_bcsr_sharded(plan: DevicePlan):
+    """Per-party BCSR over (local V src) x (global P*V dst), padded to a
+    uniform nonzero-block count so one shard_map program serves every party.
+    Returns (agg_data dict of [P, ...] arrays, n_src_blocks, n_dst_blocks)."""
+    from cognn_tpu.ops.bcsr import BLOCK, build_bcsr
+    from cognn_tpu.ops.pallas_spmm import PallasSpmm
+
+    P, V = plan.num_parties, plan.V
+    parts = []
+    for p in range(P):
+        s, d = _party_edges(plan, p)
+        m = build_bcsr(s, d, V, P * V)
+        k = PallasSpmm(m, interpret=True)  # reuse its dst-coverage padding
+        parts.append((np.asarray(k.first), np.asarray(k.bi),
+                      np.asarray(k.bj), np.asarray(k.vals)))
+        n_src_blocks, n_dst_blocks = m.n_src_blocks, m.n_dst_blocks
+    nnzb = max(len(f) for f, *_ in parts)
+    firsts, bis, bjs, vals = [], [], [], []
+    for f, bi, bj, v in parts:
+        pad = nnzb - len(f)
+        # zero blocks appended at the max bj keep the sorted-by-bj order and
+        # the first-visit flags intact (they accumulate nothing)
+        firsts.append(np.pad(f, (0, pad)))
+        bis.append(np.pad(bi, (0, pad)))
+        bjs.append(np.pad(bj, (0, pad), constant_values=n_dst_blocks - 1))
+        vals.append(np.pad(v, ((0, pad), (0, 0), (0, 0))))
+    data = {
+        "bcsr_first": jnp.asarray(np.stack(firsts)),
+        "bcsr_bi": jnp.asarray(np.stack(bis)),
+        "bcsr_bj": jnp.asarray(np.stack(bjs)),
+        "bcsr_vals": jnp.asarray(np.stack(vals)),
+    }
+    return data, n_src_blocks, n_dst_blocks
 
 
 class GasEngine:
@@ -198,24 +242,35 @@ class GasEngine:
         self.epoch_layers = (3 if variant.startswith("opt") else 2) * self.L
         self.P = plan.num_parties
         self.arr = _plan_arrays(plan, dtype)
-        # dense aggregation only in stacked mode (sharded keeps the sparse
-        # halo exchange, which ships M mirror rows instead of V); flatten
-        # [P,P,V,V] -> [(P V)src, (P V)dst] for one MXU matmul
+        # backend data that must be SHARDED with the party axis travels in
+        # the explicit ``agg`` pytree (a closure would replicate it per
+        # device under shard_map); stacked-mode backends stay closures.
+        self._agg_data: Dict[str, jnp.ndarray] = {}
         if plan.dense_adj is not None and mode == "stacked":
+            # flatten [P,P,V,V] -> [(P V)src, (P V)dst] for one MXU matmul
             P, V = plan.num_parties, plan.V
             flat = plan.dense_adj.transpose(0, 2, 1, 3).reshape(P * V, P * V)
             self._dense_adj = jnp.asarray(flat, dtype)
         else:
             self._dense_adj = None
         if aggregation == "auto":
-            aggregation = "dense" if self._dense_adj is not None else "sparse"
-        if aggregation == "dense" and self._dense_adj is None:
-            raise ValueError("dense aggregation needs a dense=True plan")
+            aggregation = ("dense" if plan.dense_adj is not None
+                           and mode == "stacked" else "sparse")
+        if aggregation == "dense":
+            if plan.dense_adj is None:
+                raise ValueError("dense aggregation needs a dense=True plan")
+            if mode == "sharded":
+                # per-source-party blocked adjacency, sharded over axis 0;
+                # the halo then ships V dense update rows per peer
+                self._agg_data["adj"] = jnp.asarray(plan.dense_adj, dtype)
         self._bcsr_spmm = None
+        self._bcsr_blocks = None
         if aggregation == "bcsr":
-            if mode != "stacked":
-                raise ValueError("bcsr aggregation is stacked-mode only")
-            self._bcsr_spmm = _build_bcsr_spmm(plan)
+            if mode == "sharded":
+                self._agg_data, nsb, ndb = _build_bcsr_sharded(plan)
+                self._bcsr_blocks = (nsb, ndb)
+            else:
+                self._bcsr_spmm = _build_bcsr_spmm(plan)
         self.aggregation = aggregation
         self.x0 = jnp.asarray(plan.features, dtype)
         dims = param.layer_dims
@@ -246,10 +301,11 @@ class GasEngine:
         comm = _ShardedComm()
         pspec = P("party")
         arr_specs = jax.tree.map(lambda _: pspec, self.arr)
+        agg_specs = jax.tree.map(lambda _: pspec, self._agg_data)
         fn = jax.shard_map(
             functools.partial(body, comm),
             mesh=self.mesh,
-            in_specs=(arr_specs, [pspec] * self.L, pspec),
+            in_specs=(arr_specs, [pspec] * self.L, pspec, agg_specs),
             out_specs=(jax.tree.map(lambda _: pspec, self._out_tree(body))),
             check_vma=False,
         )
@@ -265,27 +321,67 @@ class GasEngine:
         self.arr = jax.tree.map(lambda a: jax.device_put(a, sh), self.arr)
         self.x0 = jax.device_put(self.x0, sh)
         self.weights = [jax.device_put(w, sh) for w in self.weights]
+        self._agg_data = {k: jax.device_put(v, sh)
+                          for k, v in self._agg_data.items()}
 
     def _out_tree(self, body):
         # evaluate output structure abstractly for out_specs
         comm = _Comm()
         outs = jax.eval_shape(functools.partial(body, comm), self.arr,
-                              self.weights, self.x0)
+                              self.weights, self.x0, self._agg_data)
         return outs
 
     # ------------------------------------------------------------------
     # aggregation (scatter -> premerge/OGA -> halo exchange -> gather)
     # ------------------------------------------------------------------
     def _aggregate(self, comm, arr: _PlanArrays, h: jnp.ndarray,
-                   dest_scale) -> jnp.ndarray:
+                   dest_scale, agg_data=None) -> jnp.ndarray:
         plan = self.plan
         V, M, P = plan.V, plan.M, plan.num_parties
         D = h.shape[-1]
+        agg_data = agg_data or {}
 
         if self._bcsr_spmm is not None:
             # Pallas block-sparse SpMM path: gather/OGA/halo/gather in one
             # MXU kernel; dummy/mask semantics baked into the block values.
             agg = h + self._bcsr_spmm(h)
+            agg = agg * norm0(arr.in_deg)[..., None] if dest_scale else agg
+            return agg
+
+        if "bcsr_vals" in agg_data:
+            # sharded Pallas BCSR: each party runs its own [V x P*V] SpMM,
+            # then the per-peer V-row update chunks ride the halo collective
+            from cognn_tpu.ops.bcsr import BLOCK
+            from cognn_tpu.ops.pallas_spmm import _spmm_call
+
+            nsb, ndb = self._bcsr_blocks
+            interp = jax.default_backend() != "tpu"
+            Dp = -(-D // 8) * 8
+            Pl = h.shape[0]
+
+            def one(i):
+                ht = h[i].T  # [D, V]
+                ht = jnp.pad(ht, ((0, Dp - D), (0, nsb * BLOCK - V)))
+                out = _spmm_call(agg_data["bcsr_first"][i],
+                                 agg_data["bcsr_bi"][i],
+                                 agg_data["bcsr_bj"][i], ht,
+                                 agg_data["bcsr_vals"][i], ndb, interp)
+                return out[:D, :P * V].T  # [P*V, D]
+
+            send = jnp.stack([one(i) for i in range(Pl)])  # [Pl, P*V, D]
+            send = send.reshape(Pl, P, V, D)
+            recv = comm.halo(send)  # [Pl, P, V, D]
+            agg = h + recv.sum(axis=1)
+            agg = agg * norm0(arr.in_deg)[..., None] if dest_scale else agg
+            return agg
+
+        if "adj" in agg_data:
+            # sharded dense: per-source-party blocked adjacency
+            # [Pl, P, V, V]; one MXU matmul produces every peer's V dense
+            # update rows, which then ride the halo collective
+            send = jnp.einsum("pjvw,pvd->pjwd", agg_data["adj"], h)
+            recv = comm.halo(send)  # [Pl, P, V, D]
+            agg = h + recv.sum(axis=1)
             agg = agg * norm0(arr.in_deg)[..., None] if dest_scale else agg
             return agg
 
@@ -384,7 +480,7 @@ class GasEngine:
         return pm, metrics
 
     # ------------------------------------------------------------------
-    def _forward_body(self, comm, arr: _PlanArrays, weights, x0):
+    def _forward_body(self, comm, arr: _PlanArrays, weights, x0, agg=None):
         """Inference: L forward phases; returns (logits, prob, metrics)."""
         h = x0
         n0 = norm0(arr.in_deg)[..., None]
@@ -392,25 +488,27 @@ class GasEngine:
             if self.variant == "unopt":
                 if l != 0:
                     h = h * n0
-                h = self._aggregate(comm, arr, h, dest_scale=True)
+                h = self._aggregate(comm, arr, h, dest_scale=True,
+                                    agg_data=agg)
                 z = jnp.einsum("pvd,pde->pve", h, weights[l])
             else:
                 h = jnp.einsum("pvd,pde->pve", h, weights[l])
                 if l != 0:
                     h = h * n0
-                z = self._aggregate(comm, arr, h, dest_scale=True)
+                z = self._aggregate(comm, arr, h, dest_scale=True,
+                                    agg_data=agg)
             h = jax.nn.relu(z) if l != self.L - 1 else z
         prob = jax.nn.softmax(h, axis=-1)
         return h, prob, self._metrics(arr, prob)
 
     # ------------------------------------------------------------------
-    def _epoch_body(self, comm, arr: _PlanArrays, weights, x0):
+    def _epoch_body(self, comm, arr: _PlanArrays, weights, x0, agg=None):
         """One full training epoch (3L or 2L phases) as straight-line code."""
         if self.variant == "unopt":
-            return self._epoch_unopt(comm, arr, weights, x0)
-        return self._epoch_opt(comm, arr, weights, x0)
+            return self._epoch_unopt(comm, arr, weights, x0, agg)
+        return self._epoch_opt(comm, arr, weights, x0, agg)
 
-    def _epoch_opt(self, comm, arr, weights, x0):
+    def _epoch_opt(self, comm, arr, weights, x0, agg=None):
         L = self.L
         lr = self.dtype(self.param.learning_rate)
         n0 = norm0(arr.in_deg)[..., None]
@@ -427,7 +525,7 @@ class GasEngine:
             h = jnp.einsum("pvd,pde->pve", h, weights[l])
             if l != 0:
                 h = h * n0  # source-side scale skipped on phase 0
-            h = self._aggregate(comm, arr, h, dest_scale=True)
+            h = self._aggregate(comm, arr, h, dest_scale=True, agg_data=agg)
             z[l] = h
             if l != L - 1:
                 h = jax.nn.relu(h)
@@ -446,7 +544,8 @@ class GasEngine:
             if phase % L != 0:
                 hs = h * n0  # PreScatter backward scale (gcn.h:243-254)
                 agg_scale = (phase + 1) != 3 * L  # epoch-boundary skip
-                h = self._aggregate(comm, arr, hs, dest_scale=agg_scale)
+                h = self._aggregate(comm, arr, hs, dest_scale=agg_scale,
+                                    agg_data=agg)
             if first:
                 if l != L - 1:
                     h = h * (z[l] > 0)  # BackwardNNWithoutAH relu' mask
@@ -458,7 +557,7 @@ class GasEngine:
                 h = g
         return weights, metrics
 
-    def _epoch_unopt(self, comm, arr, weights, x0):
+    def _epoch_unopt(self, comm, arr, weights, x0, agg=None):
         L = self.L
         lr = self.dtype(self.param.learning_rate)
         n0 = norm0(arr.in_deg)[..., None]
@@ -472,7 +571,7 @@ class GasEngine:
         for l in range(L):
             if l != 0:
                 h = h * n0
-            h = self._aggregate(comm, arr, h, dest_scale=True)
+            h = self._aggregate(comm, arr, h, dest_scale=True, agg_data=agg)
             ah[l] = h
             zz = jnp.einsum("pvd,pde->pve", h, weights[l])
             z[l] = zz
@@ -495,14 +594,15 @@ class GasEngine:
                 h = h * n0
                 last_phase = (phase + 2) == 2 * L
                 h = self._aggregate(comm, arr, h,
-                                    dest_scale=not last_phase)
+                                    dest_scale=not last_phase, agg_data=agg)
         return weights, metrics
 
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
     def run_epoch(self):
-        self.weights, metrics = self._epoch(self.arr, self.weights, self.x0)
+        self.weights, metrics = self._epoch(self.arr, self.weights, self.x0,
+                                            self._agg_data)
         return metrics
 
     def run_epochs(self, n: int):
@@ -530,4 +630,5 @@ class GasEngine:
         return out
 
     def forward(self):
-        return self._forward(self.arr, self.weights, self.x0)
+        return self._forward(self.arr, self.weights, self.x0,
+                             self._agg_data)

@@ -61,7 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ring-bits", type=int, default=64, choices=[32, 64])
     p.add_argument("--scaler-bits", type=int, default=16,
                    help="fixed-point fractional bits (SCALER_BIT_LENGTH)")
-    p.add_argument("--dense-aggregation", action="store_true")
+    p.add_argument("--aggregation", default="auto",
+                   choices=["auto", "sparse", "dense", "bcsr"],
+                   help="plaintext aggregation backend (bcsr = Pallas "
+                        "block-sparse SpMM; dense = flat MXU adjacency)")
+    p.add_argument("--dense-aggregation", action="store_true",
+                   help="alias for --aggregation dense")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="save weights every N epochs (0 = off)")
     p.add_argument("--coordinator", default="127.0.0.1:29400",

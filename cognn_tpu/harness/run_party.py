@@ -84,9 +84,10 @@ def main(argv=None) -> int:
     from cognn_tpu.engine import GasEngine, build_device_plan
 
     graphs = load_party_graphs(cfg, param)
+    aggregation = "dense" if args.dense_aggregation else args.aggregation
     with duration_span("preprocess"):
         plan = build_device_plan(graphs, lane=8,
-                                 dense=args.dense_aggregation or None)
+                                 dense=(aggregation == "dense") or None)
 
     mesh = None
     if args.mode == "sharded":
@@ -106,7 +107,7 @@ def main(argv=None) -> int:
                               mode=args.mode, mesh=mesh)
     else:
         engine = GasEngine(plan, param, cfg.variant, mode=args.mode,
-                           mesh=mesh)
+                           mesh=mesh, aggregation=aggregation)
 
     ckpt_dir = Path("checkpoints") / cfg.setting
     if cfg.no_preprocess:

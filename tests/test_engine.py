@@ -88,6 +88,32 @@ def test_sharded_matches_stacked():
                                np.asarray(ms["loss"]), atol=1e-5)
 
 
+@pytest.mark.parametrize("aggregation", ["dense", "bcsr"])
+def test_sharded_backends_match_stacked(aggregation):
+    """Sharded dense / Pallas-BCSR aggregation == stacked sparse."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    src, dst, feats, labels = make_dataset(n=48, m=300, homophily=0.7)
+    param = make_param(48, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 4)
+    stacked = GasEngine(build_device_plan(graphs), param, "opt",
+                        aggregation="sparse")
+    mesh = jax.make_mesh((4,), ("party",))
+    plan = build_device_plan(graphs, dense=(aggregation == "dense"))
+    sharded = GasEngine(plan, param, "opt", mode="sharded", mesh=mesh,
+                        aggregation=aggregation)
+    ms = stacked.run_epochs(2)
+    mh = sharded.run_epochs(2)
+    # bcsr streams A blocks in bf16 (same as the stacked backend, which the
+    # ops tests bound at rel 5e-3); dense is exact f32
+    atol = 1e-5 if aggregation == "dense" else 1e-3
+    for l in range(2):
+        np.testing.assert_allclose(np.asarray(sharded.weights[l]),
+                                   np.asarray(stacked.weights[l]), atol=atol)
+    np.testing.assert_allclose(np.asarray(mh["loss"]),
+                               np.asarray(ms["loss"]), atol=atol)
+
+
 @pytest.mark.parametrize("variant", ["opt", "unopt"])
 def test_three_layer_gcn(variant):
     """L=3 generalization (the reference hardcodes 2 layers in its init;
