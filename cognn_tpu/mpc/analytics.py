@@ -143,6 +143,10 @@ class SSAnalyticsEngine:
             self._loc_min = _MinPlan(p.loc_seg, V, self.proto, SS_INF)
             self._rem_min = _MinPlan(p.rem_seg, P * M, self.proto, SS_INF)
             self._ident_scalar = jnp.asarray(fp_encode_ring(SS_INF, fp))
+        else:
+            from cognn_tpu.mpc.engine import _check_segment_widths
+
+            _check_segment_widths(plan)
         if name == "pagerank":
             od = self._global_out_deg()
             recip = np.where(od > 0, 1.0 / np.maximum(od, 1.0), 0.0)

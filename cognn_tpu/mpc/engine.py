@@ -128,6 +128,21 @@ class _MpcShardedComm:
         return _ring_psum_shares(w_sh, "party")
 
 
+def _check_segment_widths(plan: DevicePlan) -> None:
+    """_segment_sum_shares sums 16-bit planes in int32: exact only while
+    every destination's slot count stays below 2^15."""
+    for name, seg, trash in (("loc", plan.loc_seg, plan.V),
+                             ("rem", plan.rem_seg,
+                              plan.num_parties * plan.M)):
+        for p in range(plan.num_parties):
+            real = seg[p][seg[p] < trash]
+            if real.size and np.bincount(real).max() >= (1 << 15):
+                raise ValueError(
+                    f"party {p} {name} segment of {np.bincount(real).max()} "
+                    "slots overflows the carry-free share segment-sum "
+                    "(max 2^15-1 slots per destination)")
+
+
 class MpcGasEngine:
     """Secret-shared GAS engine (variants: opt, opt_inference).
 
@@ -152,6 +167,7 @@ class MpcGasEngine:
         self.P = plan.num_parties
         self.epoch_layers = (3 if variant.startswith("opt") else 2) * self.L
         self.arr = _plan_arrays(plan, jnp.float32)
+        _check_segment_widths(plan)
         self._key = jax.random.key(prng_seed)
         self.mode = mode
         self.mesh = mesh

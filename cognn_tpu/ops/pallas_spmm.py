@@ -99,3 +99,144 @@ class PallasSpmm:
         assert ht.shape[1] == self.m.n_src_blocks * BLOCK, ht.shape
         return _spmm_call(self.first, self.bi, self.bj, ht, self.vals,
                           self.n_dst_blocks, self.interpret)
+
+
+# ---------------------------------------------------------------------------
+# Supertiled variant: deep-streamed A blocks
+# ---------------------------------------------------------------------------
+#
+# The one-block-per-grid-step kernel above issues a 32 KB (bf16) DMA per
+# step; at >1 GB A streams the pipeline is DMA-latency-bound (~5x off the
+# HBM roofline). This variant groups G consecutive blocks of one
+# (dst-chunk, src-chunk) supertile into a single grid step, so the A stream
+# moves in G*32 KB chunks while the ht source chunk [D, C*128] and the out
+# destination chunk [D, Cd*128] stay resident in VMEM; sub-block routing
+# inside the chunk uses prefetched local indices with dynamic 128-aligned
+# slices.
+
+
+def _tiled_kernel(G):
+    def kernel(first_ref, oi_ref, hi_ref, bil_ref, bjl_ref,
+               ht_ref, a_ref, out_ref):
+        g = pl.program_id(0)
+
+        @pl.when(first_ref[g] == 1)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        for k in range(G):  # unrolled: G MXU dots per A-stream chunk
+            col = bil_ref[g * G + k]
+            row = bjl_ref[g * G + k]
+            hs = ht_ref[:, pl.ds(col * BLOCK, BLOCK)]
+            prod = jax.lax.dot_general(
+                hs.astype(a_ref.dtype), a_ref[k],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=out_ref.dtype)
+            out_ref[:, pl.ds(row * BLOCK, BLOCK)] += prod
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("G", "C", "Cd", "n_dst_chunks",
+                                             "interpret"))
+def _tiled_call(first, oi, hi, bil, bjl, ht, vals, G: int, C: int, Cd: int,
+                n_dst_chunks: int, interpret: bool = False):
+    D = ht.shape[0]
+    n_groups = len(first)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # first, oi, hi, bil, bjl
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((D, C * BLOCK),
+                         lambda g, first, oi, hi, bil, bjl: (0, hi[g])),
+            pl.BlockSpec((G, BLOCK, BLOCK),
+                         lambda g, first, oi, hi, bil, bjl: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (D, Cd * BLOCK), lambda g, first, oi, hi, bil, bjl: (0, oi[g])),
+    )
+    return pl.pallas_call(
+        _tiled_kernel(G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D, n_dst_chunks * Cd * BLOCK),
+                                       ht.dtype),
+        interpret=interpret,
+    )(first, oi, hi, bil, bjl, ht, vals)
+
+
+class PallasSpmmTiled:
+    """Supertiled bound kernel (same math as :class:`PallasSpmm`).
+
+    ``G``: A blocks streamed per grid step; ``C``/``Cd``: source/destination
+    supertile extents in 128-blocks. Zero-block padding cost is one partial
+    group per nonempty supertile."""
+
+    def __init__(self, m: BcsrMatrix, G: int = 8, C: int = 16, Cd: int = 16,
+                 interpret: bool | None = None):
+        self.m, self.G, self.C, self.Cd = m, G, C, Cd
+        nsc = -(-m.n_src_blocks // C)
+        ndc = -(-m.n_dst_blocks // Cd)
+        self.n_src_chunks, self.n_dst_chunks = nsc, ndc
+        bic = m.bi // C
+        bjc = m.bj // Cd
+        order = np.lexsort((m.bi, m.bj, bic, bjc))
+        bi, bj, vals = m.bi[order], m.bj[order], m.vals[order]
+        bic, bjc = bic[order], bjc[order]
+        cell = bjc.astype(np.int64) * nsc + bic
+        firsts, ois, his, bils, bjls, vgroups = [], [], [], [], [], []
+        seen_dst = np.zeros(ndc, bool)
+        zero_block = np.zeros((BLOCK, BLOCK), vals.dtype)
+
+        def emit(run_bi, run_bj, run_vals, oi, hi):
+            pad = (-len(run_bi)) % G
+            bil = np.concatenate([run_bi % C, np.zeros(pad, np.int32)])
+            bjl = np.concatenate([run_bj % Cd, np.zeros(pad, np.int32)])
+            v = np.concatenate([run_vals] + [zero_block[None]] * pad) \
+                if pad else run_vals
+            ng = len(bil) // G
+            firsts.extend([1 if (not seen_dst[oi]) and i == 0 else 0
+                           for i in range(ng)])
+            seen_dst[oi] = True
+            ois.extend([oi] * ng)
+            his.extend([hi] * ng)
+            bils.append(bil.astype(np.int32))
+            bjls.append(bjl.astype(np.int32))
+            vgroups.append(v)
+
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        bounds = np.r_[starts, len(cell)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            emit(bi[s:e], bj[s:e], vals[s:e], int(bjc[s]), int(bic[s]))
+        for j in np.flatnonzero(~seen_dst):  # uncovered out supertiles
+            emit(np.zeros(1, np.int32), np.zeros(1, np.int32),
+                 zero_block[None], int(j), 0)
+        # groups must stay sorted by destination supertile for the
+        # revisiting-output accumulation; emits above follow the lexsort
+        # except the coverage groups appended last -> resort stably by oi
+        ois = np.asarray(ois, np.int32)
+        resort = np.argsort(ois, kind="stable")
+        firsts = np.asarray(firsts, np.int32)[resort]
+        his = np.asarray(his, np.int32)[resort]
+        bil2 = np.concatenate(bils).reshape(-1, G)[resort].reshape(-1)
+        bjl2 = np.concatenate(bjls).reshape(-1, G)[resort].reshape(-1)
+        v2 = np.concatenate(vgroups).reshape(-1, G, BLOCK, BLOCK)[resort]
+        self.first = jnp.asarray(firsts)
+        self.oi = jnp.asarray(ois[resort])
+        self.hi = jnp.asarray(his)
+        self.bil = jnp.asarray(bil2)
+        self.bjl = jnp.asarray(bjl2)
+        self.vals = jnp.asarray(v2.reshape(-1, BLOCK, BLOCK), jnp.bfloat16)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+
+    def __call__(self, ht: jnp.ndarray) -> jnp.ndarray:
+        """ht: [D, n_src_blocks*BLOCK] -> [D, n_dst_blocks*BLOCK]."""
+        assert ht.shape[1] == self.m.n_src_blocks * BLOCK, ht.shape
+        pad = self.n_src_chunks * self.C * BLOCK - ht.shape[1]
+        if pad:
+            ht = jnp.pad(ht, ((0, 0), (0, pad)))
+        out = _tiled_call(self.first, self.oi, self.hi, self.bil, self.bjl,
+                          ht, self.vals, self.G, self.C, self.Cd,
+                          self.n_dst_chunks, self.interpret)
+        return out[:, : self.m.n_dst_blocks * BLOCK]

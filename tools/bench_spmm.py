@@ -26,6 +26,15 @@ def main():
     ap.add_argument("--band", type=int, default=2048,
                     help="edge locality band (models BFS-reordered graphs)")
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--tiled", action="store_true",
+                    help="also run the supertiled deep-streaming variant")
+    ap.add_argument("--g", type=int, default=8, help="blocks per grid step")
+    ap.add_argument("--c", type=int, default=16, help="src supertile blocks")
+    ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--chain", type=int, default=0,
+                    help="time N data-dependent chained dispatches inside "
+                         "one jit (defeats the tunnel's async-dispatch "
+                         "timing artifact on sub-ms kernels)")
     args = ap.parse_args()
 
     import jax
@@ -47,14 +56,58 @@ def main():
     k = PallasSpmm(m)
     x = jnp.asarray(ht0)
     jax.block_until_ready(k(x))  # compile
-    times = []
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(k(x))
-        times.append(time.perf_counter() - t0)
-    t = min(times)
+
+    def timeit(fn):
+        """min-of-reps wall time for one logical application of fn."""
+        if args.chain:
+            n = args.chain
+
+            @jax.jit
+            def chained(x0):
+                # each step's input depends on the previous step's output,
+                # so the device must run n back-to-back kernels
+                def step(h, _):
+                    o = fn(h)
+                    return h + o[:, :1] * 1e-30, None
+                return jax.lax.scan(step, x0, None, length=n)[0]
+
+            jax.block_until_ready(chained(x))
+            times = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(chained(x))
+                times.append(time.perf_counter() - t0)
+            return min(times) / n
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(x))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t = timeit(k)
     print(f"pallas bcsr_spmm: {t*1e3:.3f} ms  {E/t/1e9:.2f} Gedge/s  "
-          f"(roofline {mb/819:.3f} ms @819GB/s)")
+          f"(roofline {mb/819:.3f} ms @819GB/s)", flush=True)
+
+    if args.tiled:
+        from cognn_tpu.ops.pallas_spmm import PallasSpmmTiled
+
+        kt = PallasSpmmTiled(m, G=args.g, C=args.c, Cd=args.c)
+        ng = len(np.asarray(kt.first))
+        jax.block_until_ready(kt(x))  # compile
+        tt = timeit(kt)
+        pad_mb = ng * args.g * 128 * 128 * 2 / 1e6
+        print(f"pallas tiled(G={args.g},C={args.c}): {tt*1e3:.3f} ms  "
+              f"{E/tt/1e9:.2f} Gedge/s  stream={pad_mb:.0f} MB "
+              f"(pad {pad_mb/mb - 1:+.0%})  -> {t/tt:.2f}x vs base",
+              flush=True)
+        got = np.asarray(kt(x))[:, :m.n_dst_blocks * 128]
+        base = np.asarray(k(x))
+        rel = np.abs(got - base).max() / max(np.abs(base).max(), 1e-9)
+        print(f"tiled vs base rel err {rel:.2e}")
+
+    if args.skip_xla:
+        return
 
     order = np.argsort(dst, kind="stable")
     src_j = jnp.asarray(src[order].astype(np.int32))
