@@ -115,7 +115,7 @@ class PallasSpmm:
 # slices.
 
 
-def _tiled_kernel(G):
+def _tiled_kernel(G, block_major):
     def kernel(first_ref, oi_ref, hi_ref, bil_ref, bjl_ref,
                ht_ref, a_ref, out_ref):
         g = pl.program_id(0)
@@ -127,39 +127,62 @@ def _tiled_kernel(G):
         for k in range(G):  # unrolled: G MXU dots per A-stream chunk
             col = bil_ref[g * G + k]
             row = bjl_ref[g * G + k]
-            hs = ht_ref[:, pl.ds(col * BLOCK, BLOCK)]
-            prod = jax.lax.dot_general(
-                hs.astype(a_ref.dtype), a_ref[k],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=out_ref.dtype)
-            out_ref[:, pl.ds(row * BLOCK, BLOCK)] += prod
+            if block_major:
+                # [C, D, B] / [Cd, D, B] tiles: sub-block select is a cheap
+                # leading-axis address offset, not a cross-lane shift
+                hs = ht_ref[col]
+                prod = jax.lax.dot_general(
+                    hs.astype(a_ref.dtype), a_ref[k],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=out_ref.dtype)
+                out_ref[row] += prod
+            else:
+                hs = ht_ref[:, pl.ds(col * BLOCK, BLOCK)]
+                prod = jax.lax.dot_general(
+                    hs.astype(a_ref.dtype), a_ref[k],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=out_ref.dtype)
+                out_ref[:, pl.ds(row * BLOCK, BLOCK)] += prod
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("G", "C", "Cd", "n_dst_chunks",
-                                             "interpret"))
+                                             "block_major", "interpret"))
 def _tiled_call(first, oi, hi, bil, bjl, ht, vals, G: int, C: int, Cd: int,
-                n_dst_chunks: int, interpret: bool = False):
-    D = ht.shape[0]
+                n_dst_chunks: int, block_major: bool = True,
+                interpret: bool = False):
     n_groups = len(first)
+    if block_major:
+        D = ht.shape[1]  # ht: [n_src_chunks*C, D, BLOCK]
+        in_ht = pl.BlockSpec((C, D, BLOCK),
+                             lambda g, first, oi, hi, bil, bjl: (hi[g], 0, 0))
+        out_spec = pl.BlockSpec(
+            (Cd, D, BLOCK), lambda g, first, oi, hi, bil, bjl: (oi[g], 0, 0))
+        out_shape = jax.ShapeDtypeStruct((n_dst_chunks * Cd, D, BLOCK),
+                                         ht.dtype)
+    else:
+        D = ht.shape[0]  # ht: [D, n_src_chunks*C*BLOCK]
+        in_ht = pl.BlockSpec((D, C * BLOCK),
+                             lambda g, first, oi, hi, bil, bjl: (0, hi[g]))
+        out_spec = pl.BlockSpec(
+            (D, Cd * BLOCK), lambda g, first, oi, hi, bil, bjl: (0, oi[g]))
+        out_shape = jax.ShapeDtypeStruct((D, n_dst_chunks * Cd * BLOCK),
+                                         ht.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,  # first, oi, hi, bil, bjl
         grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec((D, C * BLOCK),
-                         lambda g, first, oi, hi, bil, bjl: (0, hi[g])),
+            in_ht,
             pl.BlockSpec((G, BLOCK, BLOCK),
                          lambda g, first, oi, hi, bil, bjl: (g, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (D, Cd * BLOCK), lambda g, first, oi, hi, bil, bjl: (0, oi[g])),
+        out_specs=out_spec,
     )
     return pl.pallas_call(
-        _tiled_kernel(G),
+        _tiled_kernel(G, block_major),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((D, n_dst_chunks * Cd * BLOCK),
-                                       ht.dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(first, oi, hi, bil, bjl, ht, vals)
 
@@ -172,8 +195,9 @@ class PallasSpmmTiled:
     group per nonempty supertile."""
 
     def __init__(self, m: BcsrMatrix, G: int = 8, C: int = 16, Cd: int = 16,
-                 interpret: bool | None = None):
+                 block_major: bool = True, interpret: bool | None = None):
         self.m, self.G, self.C, self.Cd = m, G, C, Cd
+        self.block_major = block_major
         nsc = -(-m.n_src_blocks // C)
         ndc = -(-m.n_dst_blocks // Cd)
         self.n_src_chunks, self.n_dst_chunks = nsc, ndc
@@ -233,10 +257,20 @@ class PallasSpmmTiled:
     def __call__(self, ht: jnp.ndarray) -> jnp.ndarray:
         """ht: [D, n_src_blocks*BLOCK] -> [D, n_dst_blocks*BLOCK]."""
         assert ht.shape[1] == self.m.n_src_blocks * BLOCK, ht.shape
+        D = ht.shape[0]
         pad = self.n_src_chunks * self.C * BLOCK - ht.shape[1]
         if pad:
             ht = jnp.pad(ht, ((0, 0), (0, pad)))
-        out = _tiled_call(self.first, self.oi, self.hi, self.bil, self.bjl,
-                          ht, self.vals, self.G, self.C, self.Cd,
-                          self.n_dst_chunks, self.interpret)
+        if self.block_major:
+            ht3 = ht.reshape(D, -1, BLOCK).swapaxes(0, 1)
+            out3 = _tiled_call(self.first, self.oi, self.hi, self.bil,
+                               self.bjl, ht3, self.vals, self.G, self.C,
+                               self.Cd, self.n_dst_chunks, True,
+                               self.interpret)
+            out = out3.swapaxes(0, 1).reshape(D, -1)
+        else:
+            out = _tiled_call(self.first, self.oi, self.hi, self.bil,
+                              self.bjl, ht, self.vals, self.G, self.C,
+                              self.Cd, self.n_dst_chunks, False,
+                              self.interpret)
         return out[:, : self.m.n_dst_blocks * BLOCK]

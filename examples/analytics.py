@@ -46,6 +46,19 @@ def main():
     labels = np.asarray(cc)[np.asarray(plan.vertex_mask)]
     print(f"connected components: {len(np.unique(labels))}")
 
+    # secret-shared execution of the same programs (the reference's
+    # ss-pagerank/ss-bfs HE path, rebuilt on additive shares)
+    from cognn_tpu.mpc.analytics import SSAnalyticsEngine
+
+    ss_bfs = SSAnalyticsEngine(plan, "bfs", source=(0, 0)).run(n)
+    match = np.allclose(np.minimum(np.asarray(bfs), 2.0**20),
+                        np.minimum(ss_bfs, 2.0**20), atol=1e-3)
+    print(f"secret-shared BFS == plaintext BFS: {match}")
+
+    ss_pr = SSAnalyticsEngine(plan, "pagerank", num_vertices=n).run(30)
+    err = np.abs(ss_pr - np.asarray(pr)).max()
+    print(f"secret-shared pagerank max |err| vs plaintext: {err:.2e}")
+
 
 if __name__ == "__main__":
     main()

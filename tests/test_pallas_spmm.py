@@ -67,6 +67,34 @@ class TestPallasSpmm:
         rel = np.abs(got - ref).max() / np.abs(ref).max()
         assert rel < 5e-3  # bf16 operand rounding
 
+    @pytest.mark.parametrize("block_major", [True, False])
+    @pytest.mark.parametrize("G,C", [(4, 2), (8, 4)])
+    def test_tiled_matches_reference(self, block_major, G, C):
+        from cognn_tpu.ops.pallas_spmm import PallasSpmmTiled
+
+        V, E, D = 1024, 4096, 16
+        src, dst = random_edges(V, E, band=256)
+        m = build_bcsr(src, dst, V, V)
+        ht = RNG.normal(size=(D, m.n_src_blocks * BLOCK)).astype(np.float32)
+        k = PallasSpmmTiled(m, G=G, C=C, Cd=C, block_major=block_major,
+                            interpret=True)
+        got = np.asarray(k(jnp.asarray(ht)))
+        ref = bcsr_spmm_reference(m, ht)
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 5e-3
+
+    def test_tiled_covers_empty_dst_chunks(self):
+        from cognn_tpu.ops.pallas_spmm import PallasSpmmTiled
+
+        # all edges land in dst block 0: higher chunks must come out zero
+        src = RNG.integers(0, 1024, 200)
+        dst = RNG.integers(0, 64, 200)
+        m = build_bcsr(src, dst, 1024, 1024)
+        ht = RNG.normal(size=(8, m.n_src_blocks * BLOCK)).astype(np.float32)
+        k = PallasSpmmTiled(m, G=4, C=2, Cd=2, interpret=True)
+        got = np.asarray(k(jnp.asarray(ht)))
+        assert np.abs(got[:, 128:]).max() == 0.0
+
     def test_empty_dst_blocks_zeroed(self):
         # all edges target block 0; higher dst blocks must come out zero
         src = RNG.integers(0, 512, 100)

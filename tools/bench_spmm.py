@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--g", type=int, default=8, help="blocks per grid step")
     ap.add_argument("--c", type=int, default=16, help="src supertile blocks")
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--lane-layout", action="store_true",
+                    help="tiled variant: dynamic lane slicing instead of "
+                         "block-major 3D tiles")
     ap.add_argument("--chain", type=int, default=0,
                     help="time N data-dependent chained dispatches inside "
                          "one jit (defeats the tunnel's async-dispatch "
@@ -60,22 +63,23 @@ def main():
     def timeit(fn):
         """min-of-reps wall time for one logical application of fn."""
         if args.chain:
+            # eagerly dispatch n data-dependent applications: the device
+            # must run them back to back, so per-call time = total / n
+            # (defeats sub-ms readiness misreporting through the tunnel)
             n = args.chain
 
-            @jax.jit
-            def chained(x0):
-                # each step's input depends on the previous step's output,
-                # so the device must run n back-to-back kernels
-                def step(h, _):
+            def chained():
+                h = x
+                for _ in range(n):
                     o = fn(h)
-                    return h + o[:, :1] * 1e-30, None
-                return jax.lax.scan(step, x0, None, length=n)[0]
+                    h = h + o[:, :1] * 1e-30
+                return h
 
-            jax.block_until_ready(chained(x))
+            jax.block_until_ready(chained())
             times = []
             for _ in range(args.reps):
                 t0 = time.perf_counter()
-                jax.block_until_ready(chained(x))
+                jax.block_until_ready(chained())
                 times.append(time.perf_counter() - t0)
             return min(times) / n
         times = []
@@ -92,7 +96,8 @@ def main():
     if args.tiled:
         from cognn_tpu.ops.pallas_spmm import PallasSpmmTiled
 
-        kt = PallasSpmmTiled(m, G=args.g, C=args.c, Cd=args.c)
+        kt = PallasSpmmTiled(m, G=args.g, C=args.c, Cd=args.c,
+                             block_major=not args.lane_layout)
         ng = len(np.asarray(kt.first))
         jax.block_until_ready(kt(x))  # compile
         tt = timeit(kt)
