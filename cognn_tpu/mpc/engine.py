@@ -216,37 +216,70 @@ class MpcGasEngine:
     # ------------------------------------------------------------------
     # phase-jit compile mode (default for stacked): the whole-epoch HLO
     # (limb arithmetic unrolled over 3L phases) takes ~16 min to compile on
-    # the tunneled TPU; ~20 small jitted blocks compile in ~1 min at ~20%
-    # extra dispatch overhead per epoch (34.2 -> 41.6 ms measured).
-    # compile_mode="epoch" keeps the single-program path (best steady state,
-    # and the only option under shard_map). A parity test pins phased ==
-    # whole-epoch results.
+    # the tunneled TPU. Instead compile ONE program per schedule phase
+    # (forward layer / backward-first half / backward-second half, 3L
+    # dispatches per epoch for opt) — each fuses its matmul + scale +
+    # aggregation + nonlinearity, and derives its PRNG key inside the
+    # program (fold_in on a phase id arg), so the host issues no tiny
+    # split/mask dispatches between phases. compile_mode="epoch" keeps the
+    # single-program path (the only option under shard_map). A parity test
+    # pins phased == whole-epoch results (exact truncation is
+    # key-independent in value space).
     # ------------------------------------------------------------------
     def _build_phase_jits(self):
         comm = _MpcComm()
         proto = self.proto
-        self._j_agg = {
-            True: jax.jit(lambda key, arr, n0, sh: self._aggregate(
-                comm, key, arr, n0, sh, True)),
-            False: jax.jit(lambda key, arr, n0, sh: self._aggregate(
-                comm, key, arr, n0, sh, False)),
-        }
-        self._j_mm = jax.jit(self._pmatmul)
-        self._j_scale = jax.jit(self._scale_rows)
-        self._j_relu = jax.jit(
-            lambda sh: (proto.mask_mul(sh, proto.sign_mask(sh)),
-                        proto.sign_mask(sh)))
-        self._j_mask = jax.jit(proto.mask_mul)
-        self._j_predict = jax.jit(self._predict_apply)
 
-        def sgd(key, w_sh, d, inv_fp):
-            k5, k6, k7 = jax.random.split(key, 3)
-            d = proto.scale_rows(k5, d, inv_fp[..., None, None])
+        def fwd_layer(key, pid, arr, n0, h, w, *, first, last):
+            key = jax.random.fold_in(key, pid)
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            h = self._pmatmul(k1, h, w)
+            if not first:
+                h = self._scale_rows(k2, h, n0)
+            h = self._aggregate(comm, k3, arr, n0, h, True)
+            if last:
+                return self._predict_apply(k4, arr, h)  # (pm_sh, metrics)
+            m = proto.sign_mask(h)
+            return proto.mask_mul(h, m), m
+
+        def bwd_first(key, pid, arr, n0, h, w, zmask, *, do_agg, agg_scale,
+                      do_mask):
+            key = jax.random.fold_in(key, pid)
+            k1, k2, k3 = jax.random.split(key, 3)
+            if do_agg:
+                hs = self._scale_rows(k2, h, n0)
+                h = self._aggregate(comm, k3, arr, n0, hs, agg_scale)
+            if do_mask:
+                h = proto.mask_mul(h, zmask)
+            g = self._pmatmul(k1, h, jnp.swapaxes(w, -1, -2))
+            return h, g
+
+        def bwd_second(key, pid, arr, n0, h, h_in, w, inv, *, do_agg,
+                       agg_scale):
+            key = jax.random.fold_in(key, pid)
+            k2, k3, k4, k5, k6, k7 = jax.random.split(key, 6)
+            if do_agg:
+                hs = self._scale_rows(k2, h, n0)
+                h = self._aggregate(comm, k3, arr, n0, hs, agg_scale)
+            d = self._pmatmul(k4, jnp.swapaxes(h_in, -1, -2), h)
+            d = proto.scale_rows(k5, d, inv[..., None, None])
             step = proto.scale_const(k6, d, float(self.param.learning_rate))
-            w = proto.sub(w_sh, step)
+            w = proto.sub(w, step)
             return self._weight_mean(comm, k7, w)
 
-        self._j_sgd = jax.jit(sgd)
+        self._j_fwd = {
+            (first, last): jax.jit(
+                functools.partial(fwd_layer, first=first, last=last))
+            for first in (False, True) for last in (False, True)}
+        self._j_bwd1 = {
+            (da, asc, dm): jax.jit(functools.partial(
+                bwd_first, do_agg=da, agg_scale=asc, do_mask=dm))
+            for da in (False, True) for asc in (False, True)
+            for dm in (False, True)}
+        self._j_bwd2 = {
+            (da, asc): jax.jit(functools.partial(
+                bwd_second, do_agg=da, agg_scale=asc))
+            for da in (False, True) for asc in (False, True)}
 
     def _epoch_phased(self, key, arr, weights_sh, x0_sh, n0_fp,
                       inv_train_fp):
@@ -258,36 +291,26 @@ class MpcGasEngine:
         metrics = None
         for l in range(L):
             h_in[l] = h
-            key, k1, k2, k3 = jax.random.split(key, 4)
-            h = self._j_mm(k1, h, weights_sh[l])
-            if l != 0:
-                h = self._j_scale(k2, h, n0_fp)
-            h = self._j_agg[True](k3, arr, n0_fp, h)
-            if l != L - 1:
-                h, z_mask[l] = self._j_relu(h)
+            fwd = self._j_fwd[(l == 0, l == L - 1)]
+            if l == L - 1:
+                h, metrics = fwd(key, l, arr, n0_fp, h, weights_sh[l])
             else:
-                key, k4 = jax.random.split(key)
-                h, metrics = self._j_predict(k4, arr, h)
+                h, z_mask[l] = fwd(key, l, arr, n0_fp, h, weights_sh[l])
         g = None
         for phase in range(L, 3 * L):
-            key, k1, k2, k3, k4 = jax.random.split(key, 5)
             l = L - 1 - (phase - L) // 2
             first = ((phase - L) % 2 == 0)
-            if phase % L != 0:
-                hs = self._j_scale(k2, h, n0_fp)
-                agg_scale = (phase + 1) != 3 * L
-                h = self._j_agg[agg_scale](k3, arr, n0_fp, hs)
+            do_agg = (phase % L != 0)
+            agg_scale = (phase + 1) != 3 * L
             if first:
-                if l != L - 1:
-                    h = self._j_mask(h, z_mask[l])
-                wT = jnp.swapaxes(weights_sh[l], -1, -2)
-                g = self._j_mm(k1, h, wT)
+                do_mask = (l != L - 1)
+                h, g = self._j_bwd1[(do_agg, agg_scale, do_mask)](
+                    key, phase, arr, n0_fp, h, weights_sh[l],
+                    z_mask[l] if do_mask else None)
             else:
-                hT = jnp.swapaxes(h_in[l], -1, -2)
-                d = self._j_mm(k4, hT, h)
-                key, k5 = jax.random.split(key)
-                weights_sh[l] = self._j_sgd(k5, weights_sh[l], d,
-                                            inv_train_fp)
+                weights_sh[l] = self._j_bwd2[(do_agg, agg_scale)](
+                    key, phase, arr, n0_fp, h, h_in[l], weights_sh[l],
+                    inv_train_fp)
                 h = g
         return weights_sh, metrics
 
