@@ -200,11 +200,13 @@ class MpcGasEngine:
             self._epoch = self._build_sharded(self._epoch_body)
             self._forward = self._build_sharded(self._forward_body)
             self._place_sharded()
-        elif compile_mode == "phase" and variant != "unopt":
-            # the phased orchestrator implements the opt schedule; unopt
-            # falls back to the whole-epoch jit below
-            self._build_phase_jits()
-            self._epoch = self._epoch_phased
+        elif compile_mode == "phase":
+            if variant == "unopt":
+                self._build_phase_jits_unopt()
+                self._epoch = self._epoch_phased_unopt
+            else:
+                self._build_phase_jits()
+                self._epoch = self._epoch_phased
             self._forward = jax.jit(
                 functools.partial(self._forward_body, _MpcComm()))
         else:
@@ -280,6 +282,80 @@ class MpcGasEngine:
             (da, asc): jax.jit(functools.partial(
                 bwd_second, do_agg=da, agg_scale=asc))
             for da in (False, True) for asc in (False, True)}
+
+    def _build_phase_jits_unopt(self):
+        """Per-phase programs for the CoGNN (unopt / ss) 2L-phase schedule —
+        same motivation as `_build_phase_jits` (original-gcn `gcn.h:440-631`:
+        aggregate-then-matmul forward, fused per-layer backward)."""
+        comm = _MpcComm()
+        proto = self.proto
+
+        def fwd_u(key, pid, arr, n0, h, w, *, first, last):
+            key = jax.random.fold_in(key, pid)
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            if not first:
+                h = self._scale_rows(k1, h, n0)
+            ah = self._aggregate(comm, k2, arr, n0, h, True)
+            zz = self._pmatmul(k3, ah, w)
+            if last:
+                pm_sh, metrics = self._predict_apply(k4, arr, zz)
+                return ah, pm_sh, metrics
+            m = proto.sign_mask(zz)
+            return ah, proto.mask_mul(zz, m), m
+
+        def bwd_u(key, pid, arr, n0, h, ah, w, zmask, inv, *, do_mask,
+                  do_agg_after, agg_scale):
+            key = jax.random.fold_in(key, pid)
+            k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+            if do_mask:
+                h = proto.mask_mul(h, zmask)
+            g = self._pmatmul(k1, h, jnp.swapaxes(w, -1, -2))
+            d = self._pmatmul(k2, jnp.swapaxes(ah, -1, -2), h)
+            d = proto.scale_rows(k3, d, inv[..., None, None])
+            step = proto.scale_const(k4, d, float(self.param.learning_rate))
+            w = proto.sub(w, step)
+            w = self._weight_mean(comm, k7, w)
+            h = g
+            if do_agg_after:
+                h = self._scale_rows(k5, h, n0)
+                h = self._aggregate(comm, k6, arr, n0, h,
+                                    dest_scale=agg_scale)
+            return h, w
+
+        self._j_fwd_u = {
+            (first, last): jax.jit(
+                functools.partial(fwd_u, first=first, last=last))
+            for first in (False, True) for last in (False, True)}
+        self._j_bwd_u = {
+            (dm, da, asc): jax.jit(functools.partial(
+                bwd_u, do_mask=dm, do_agg_after=da, agg_scale=asc))
+            for dm in (False, True) for da in (False, True)
+            for asc in (False, True)}
+
+    def _epoch_phased_unopt(self, key, arr, weights_sh, x0_sh, n0_fp,
+                            inv_train_fp):
+        L = self.L
+        weights_sh = list(weights_sh)
+        h = x0_sh
+        ah = [None] * L
+        z_mask = [None] * L
+        metrics = None
+        for l in range(L):
+            fwd = self._j_fwd_u[(l == 0, l == L - 1)]
+            if l == L - 1:
+                ah[l], h, metrics = fwd(key, l, arr, n0_fp, h, weights_sh[l])
+            else:
+                ah[l], h, z_mask[l] = fwd(key, l, arr, n0_fp, h,
+                                          weights_sh[l])
+        for kk, l in enumerate(reversed(range(L))):
+            do_mask = (l != L - 1)
+            do_agg_after = (l > 0)
+            agg_scale = (L + kk + 2) != 2 * L
+            h, weights_sh[l] = self._j_bwd_u[(do_mask, do_agg_after,
+                                              agg_scale)](
+                key, L + kk, arr, n0_fp, h, ah[l], weights_sh[l],
+                z_mask[l] if do_mask else None, inv_train_fp)
+        return weights_sh, metrics
 
     def _epoch_phased(self, key, arr, weights_sh, x0_sh, n0_fp,
                       inv_train_fp):

@@ -180,8 +180,25 @@ def test_phase_compile_mode_matches_epoch():
     src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
     param = make_param(32, feats.shape[1], labels.max() + 1)
     graphs = build_parties(src, dst, feats, labels, 2)
-    a = MpcGasEngine(build_device_plan(graphs), param)
+    a = MpcGasEngine(build_device_plan(graphs), param, compile_mode="epoch")
     b = MpcGasEngine(build_device_plan(graphs), param, compile_mode="phase")
+    ma = a.metrics_host(a.run_epochs(2))
+    mb = b.metrics_host(b.run_epochs(2))
+    np.testing.assert_allclose(mb["loss"], ma["loss"], atol=1e-6)
+    for l in range(2):
+        np.testing.assert_allclose(b.reveal_weights()[l],
+                                   a.reveal_weights()[l], atol=1e-6)
+
+
+def test_phase_compile_mode_matches_epoch_unopt():
+    """Same parity pin for the unopt (CoGNN / ss-gcn) 2L-phase schedule."""
+    src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
+    param = make_param(32, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    a = MpcGasEngine(build_device_plan(graphs), param, "unopt",
+                     compile_mode="epoch")
+    b = MpcGasEngine(build_device_plan(graphs), param, "unopt",
+                     compile_mode="phase")
     ma = a.metrics_host(a.run_epochs(2))
     mb = b.metrics_host(b.run_epochs(2))
     np.testing.assert_allclose(mb["loss"], ma["loss"], atol=1e-6)
