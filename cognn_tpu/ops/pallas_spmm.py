@@ -274,3 +274,145 @@ class PallasSpmmTiled:
                               self.Cd, self.n_dst_chunks, False,
                               self.interpret)
         return out[:, : self.m.n_dst_blocks * BLOCK]
+
+
+# ---------------------------------------------------------------------------
+# Merged-K variant: one wide MXU dot per group of same-destination blocks
+# ---------------------------------------------------------------------------
+#
+# At hidden-dim widths (D=16) a [D,128]x[128,128] dot is mostly MXU pipeline
+# latency: the supertiled kernel above amortizes the per-step DMA but still
+# issues G tiny K=128 dots per step, so large A streams run compute-issue
+# bound (~5x off the HBM roofline). Since blocks within a supertile cell
+# arrive sorted by destination block, runs sharing one destination can be
+# contracted in a SINGLE [D, G*128] x [G*128, 128] dot: concatenate the G
+# source tiles along the contraction axis and reshape the A chunk to
+# [G*128, 128] — same math as summing the G block products (the reference's
+# OGA merge, `optimize-gcn/gcn.h:309-342`, is an ADD over per-edge partial
+# updates; K-merging is that ADD fused into MXU accumulation).
+
+
+def _merged_kernel(G):
+    def kernel(first_ref, oi_ref, hi_ref, row_ref, bil_ref,
+               ht_ref, a_ref, out_ref):
+        g = pl.program_id(0)
+
+        @pl.when(first_ref[g] == 1)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        hs = jnp.concatenate(
+            [ht_ref[bil_ref[g * G + k]] for k in range(G)], axis=1)
+        a = a_ref[...].reshape(G * BLOCK, BLOCK)
+        out_ref[row_ref[g]] += jax.lax.dot_general(
+            hs.astype(a.dtype), a, (((1,), (0,)), ((), ())),
+            preferred_element_type=out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("G", "C", "Cd", "n_dst_chunks",
+                                             "interpret"))
+def _merged_call(first, oi, hi, row, bil, ht, vals, G: int, C: int, Cd: int,
+                 n_dst_chunks: int, interpret: bool = False):
+    n_groups = len(first)
+    D = ht.shape[1]  # ht: [n_src_chunks*C, D, BLOCK] block-major
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # first, oi, hi, row, bil
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((C, D, BLOCK),
+                         lambda g, first, oi, hi, row, bil: (hi[g], 0, 0)),
+            pl.BlockSpec((G, BLOCK, BLOCK),
+                         lambda g, first, oi, hi, row, bil: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (Cd, D, BLOCK), lambda g, first, oi, hi, row, bil: (oi[g], 0, 0)),
+    )
+    return pl.pallas_call(
+        _merged_kernel(G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_dst_chunks * Cd, D, BLOCK),
+                                       ht.dtype),
+        interpret=interpret,
+    )(first, oi, hi, row, bil, ht, vals)
+
+
+class PallasSpmmMerged:
+    """Same-destination block-merged bound kernel (same math as
+    :class:`PallasSpmm`). Groups of ``G`` blocks sharing one destination
+    block become one K=G*128 MXU contraction; padding cost is one partial
+    group per (cell, destination-block) run."""
+
+    def __init__(self, m: BcsrMatrix, G: int = 8, C: int = 16, Cd: int = 16,
+                 interpret: bool | None = None):
+        self.m, self.G, self.C, self.Cd = m, G, C, Cd
+        nsc = -(-m.n_src_blocks // C)
+        ndc = -(-m.n_dst_blocks // Cd)
+        self.n_src_chunks, self.n_dst_chunks = nsc, ndc
+        bic = m.bi // C
+        bjc = m.bj // Cd
+        order = np.lexsort((m.bi, m.bj, bic, bjc))
+        bi, bj, vals = m.bi[order], m.bj[order], m.vals[order]
+        bic, bjc = bic[order], bjc[order]
+        # runs of identical (dst chunk, src chunk, dst block): within-cell
+        # entries are bj-sorted by the lexsort above
+        run_key = (bjc.astype(np.int64) * nsc + bic) * m.n_dst_blocks + bj
+        firsts, ois, his, rows, bils, vgroups = [], [], [], [], [], []
+        seen_dst = np.zeros(ndc, bool)
+        zero_block = np.zeros((BLOCK, BLOCK), vals.dtype)
+
+        def emit(run_bi, run_bj0, run_vals, oi, hi):
+            pad = (-len(run_bi)) % G
+            bil = np.concatenate([run_bi % C, np.zeros(pad, np.int32)])
+            v = np.concatenate([run_vals] + [zero_block[None]] * pad) \
+                if pad else run_vals
+            ng = len(bil) // G
+            firsts.extend([1 if (not seen_dst[oi]) and i == 0 else 0
+                           for i in range(ng)])
+            seen_dst[oi] = True
+            ois.extend([oi] * ng)
+            his.extend([hi] * ng)
+            rows.extend([run_bj0 % self.Cd] * ng)
+            bils.append(bil.astype(np.int32))
+            vgroups.append(v)
+
+        starts = np.flatnonzero(np.r_[True, run_key[1:] != run_key[:-1]])
+        bounds = np.r_[starts, len(run_key)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            emit(bi[s:e], int(bj[s]), vals[s:e], int(bjc[s]), int(bic[s]))
+        for j in np.flatnonzero(~seen_dst):  # uncovered out supertiles
+            emit(np.zeros(1, np.int32), j * self.Cd, zero_block[None],
+                 int(j), 0)
+        # revisiting-output accumulation needs groups sorted by dst chunk
+        ois = np.asarray(ois, np.int32)
+        resort = np.argsort(ois, kind="stable")
+        self.first = jnp.asarray(np.asarray(firsts, np.int32)[resort])
+        self.oi = jnp.asarray(ois[resort])
+        self.hi = jnp.asarray(np.asarray(his, np.int32)[resort])
+        self.row = jnp.asarray(np.asarray(rows, np.int32)[resort])
+        bil2 = np.concatenate(bils).reshape(-1, G)[resort].reshape(-1)
+        self.bil = jnp.asarray(bil2)
+        v2 = np.concatenate(vgroups).reshape(-1, G, BLOCK, BLOCK)[resort]
+        self.vals = jnp.asarray(v2.reshape(-1, BLOCK, BLOCK), jnp.bfloat16)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+
+    @property
+    def n_groups(self) -> int:
+        return len(self.first)
+
+    def __call__(self, ht: jnp.ndarray) -> jnp.ndarray:
+        """ht: [D, n_src_blocks*BLOCK] -> [D, n_dst_blocks*BLOCK]."""
+        assert ht.shape[1] == self.m.n_src_blocks * BLOCK, ht.shape
+        D = ht.shape[0]
+        pad = self.n_src_chunks * self.C * BLOCK - ht.shape[1]
+        if pad:
+            ht = jnp.pad(ht, ((0, 0), (0, pad)))
+        ht3 = ht.reshape(D, -1, BLOCK).swapaxes(0, 1)
+        out3 = _merged_call(self.first, self.oi, self.hi, self.row, self.bil,
+                            ht3, self.vals, self.G, self.C, self.Cd,
+                            self.n_dst_chunks, self.interpret)
+        out = out3.swapaxes(0, 1).reshape(D, -1)
+        return out[:, : self.m.n_dst_blocks * BLOCK]

@@ -95,6 +95,31 @@ class TestPallasSpmm:
         got = np.asarray(k(jnp.asarray(ht)))
         assert np.abs(got[:, 128:]).max() == 0.0
 
+    @pytest.mark.parametrize("G,C", [(4, 2), (8, 4), (3, 4)])
+    def test_merged_matches_reference(self, G, C):
+        from cognn_tpu.ops.pallas_spmm import PallasSpmmMerged
+
+        V, E, D = 1024, 4096, 16
+        src, dst = random_edges(V, E, band=256)
+        m = build_bcsr(src, dst, V, V)
+        ht = RNG.normal(size=(D, m.n_src_blocks * BLOCK)).astype(np.float32)
+        k = PallasSpmmMerged(m, G=G, C=C, Cd=C, interpret=True)
+        got = np.asarray(k(jnp.asarray(ht)))
+        ref = bcsr_spmm_reference(m, ht)
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 5e-3
+
+    def test_merged_covers_empty_dst_chunks(self):
+        from cognn_tpu.ops.pallas_spmm import PallasSpmmMerged
+
+        src = RNG.integers(0, 1024, 200)
+        dst = RNG.integers(0, 64, 200)
+        m = build_bcsr(src, dst, 1024, 1024)
+        ht = RNG.normal(size=(8, m.n_src_blocks * BLOCK)).astype(np.float32)
+        k = PallasSpmmMerged(m, G=4, C=2, Cd=2, interpret=True)
+        got = np.asarray(k(jnp.asarray(ht)))
+        assert np.abs(got[:, 128:]).max() == 0.0
+
     def test_empty_dst_blocks_zeroed(self):
         # all edges target block 0; higher dst blocks must come out zero
         src = RNG.integers(0, 512, 100)

@@ -28,7 +28,13 @@ def main():
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--tiled", action="store_true",
                     help="also run the supertiled deep-streaming variant")
-    ap.add_argument("--g", type=int, default=8, help="blocks per grid step")
+    ap.add_argument("--g", type=str, default="8",
+                    help="blocks per grid step (comma-separated sweep)")
+    ap.add_argument("--skip-base", action="store_true",
+                    help="skip the one-block-per-step base kernel")
+    ap.add_argument("--merged", type=str, default="",
+                    help="comma-separated G sweep for the merged-K "
+                         "same-destination variant")
     ap.add_argument("--c", type=int, default=16, help="src supertile blocks")
     ap.add_argument("--skip-xla", action="store_true")
     ap.add_argument("--lane-layout", action="store_true",
@@ -56,9 +62,11 @@ def main():
           f"nnzb={m.nnzb} A-stream={mb:.0f} MB (bf16)")
 
     ht0 = rng.normal(size=(D, m.n_src_blocks * 128)).astype(np.float32)
-    k = PallasSpmm(m)
     x = jnp.asarray(ht0)
-    jax.block_until_ready(k(x))  # compile
+    k = None
+    if not args.skip_base:
+        k = PallasSpmm(m)
+        jax.block_until_ready(k(x))  # compile
 
     def timeit(fn):
         """min-of-reps wall time for one logical application of fn."""
@@ -76,12 +84,22 @@ def main():
                 return h
 
             jax.block_until_ready(chained())
-            times = []
+            # grand window ended by a VALUE FETCH: through the axon tunnel
+            # block_until_ready can return before the device finishes even
+            # with hundreds of chained dispatches queued (we measured an
+            # impossible 4.8 TB/s that way). Fetching a concrete scalar off
+            # the final chain link cannot complete early — the bytes must
+            # exist — so the window is bounded below by real device time.
+            t0 = time.perf_counter()
+            last = None
             for _ in range(args.reps):
-                t0 = time.perf_counter()
-                jax.block_until_ready(chained())
-                times.append(time.perf_counter() - t0)
-            return min(times) / n
+                last = chained()
+            float(np.asarray(jnp.sum(last)))  # hard sync
+            total = time.perf_counter() - t0
+            if total < 0.5:
+                print(f"  WARNING: window {total*1e3:.0f} ms < 500 ms — "
+                      "raise --chain for an honest number", flush=True)
+            return total / (args.reps * n)
         times = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
@@ -89,27 +107,54 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    t = timeit(k)
-    print(f"pallas bcsr_spmm: {t*1e3:.3f} ms  {E/t/1e9:.2f} Gedge/s  "
-          f"(roofline {mb/819:.3f} ms @819GB/s)", flush=True)
+    if k is not None:
+        t = timeit(k)
+        print(f"pallas bcsr_spmm: {t*1e3:.3f} ms  {E/t/1e9:.2f} Gedge/s  "
+              f"(roofline {mb/819:.3f} ms @819GB/s)", flush=True)
+    else:
+        t = None
+        print(f"(base kernel skipped; roofline {mb/819:.3f} ms @819GB/s)",
+              flush=True)
 
     if args.tiled:
         from cognn_tpu.ops.pallas_spmm import PallasSpmmTiled
 
-        kt = PallasSpmmTiled(m, G=args.g, C=args.c, Cd=args.c,
-                             block_major=not args.lane_layout)
-        ng = len(np.asarray(kt.first))
-        jax.block_until_ready(kt(x))  # compile
-        tt = timeit(kt)
-        pad_mb = ng * args.g * 128 * 128 * 2 / 1e6
-        print(f"pallas tiled(G={args.g},C={args.c}): {tt*1e3:.3f} ms  "
-              f"{E/tt/1e9:.2f} Gedge/s  stream={pad_mb:.0f} MB "
-              f"(pad {pad_mb/mb - 1:+.0%})  -> {t/tt:.2f}x vs base",
-              flush=True)
-        got = np.asarray(kt(x))[:, :m.n_dst_blocks * 128]
-        base = np.asarray(k(x))
-        rel = np.abs(got - base).max() / max(np.abs(base).max(), 1e-9)
-        print(f"tiled vs base rel err {rel:.2e}")
+        base = np.asarray(k(x)) if k is not None else None
+        for g in (int(s) for s in args.g.split(",")):
+            kt = PallasSpmmTiled(m, G=g, C=args.c, Cd=args.c,
+                                 block_major=not args.lane_layout)
+            ng = len(np.asarray(kt.first))
+            jax.block_until_ready(kt(x))  # compile
+            tt = timeit(kt)
+            pad_mb = ng * g * 128 * 128 * 2 / 1e6
+            vs = f"  -> {t/tt:.2f}x vs base" if t is not None else ""
+            print(f"pallas tiled(G={g},C={args.c}): {tt*1e3:.3f} ms  "
+                  f"{E/tt/1e9:.2f} Gedge/s  stream={pad_mb:.0f} MB "
+                  f"(pad {pad_mb/mb - 1:+.0%}){vs}", flush=True)
+            if base is not None:
+                got = np.asarray(kt(x))[:, :m.n_dst_blocks * 128]
+                rel = (np.abs(got - base).max()
+                       / max(np.abs(base).max(), 1e-9))
+                print(f"  tiled vs base rel err {rel:.2e}", flush=True)
+
+    if args.merged:
+        from cognn_tpu.ops.pallas_spmm import PallasSpmmMerged
+
+        base = np.asarray(k(x)) if k is not None else None
+        for g in (int(s) for s in args.merged.split(",")):
+            km = PallasSpmmMerged(m, G=g, C=args.c, Cd=args.c)
+            jax.block_until_ready(km(x))  # compile
+            tm = timeit(km)
+            pad_mb = km.n_groups * g * 128 * 128 * 2 / 1e6
+            vs = f"  -> {t/tm:.2f}x vs base" if t is not None else ""
+            print(f"pallas merged(G={g},C={args.c}): {tm*1e3:.3f} ms  "
+                  f"{E/tm/1e9:.2f} Gedge/s  stream={pad_mb:.0f} MB "
+                  f"(pad {pad_mb/mb - 1:+.0%}){vs}", flush=True)
+            if base is not None:
+                got = np.asarray(km(x))[:, :m.n_dst_blocks * 128]
+                rel = (np.abs(got - base).max()
+                       / max(np.abs(base).max(), 1e-9))
+                print(f"  merged vs base rel err {rel:.2e}", flush=True)
 
     if args.skip_xla:
         return
