@@ -88,22 +88,29 @@ def main():
     log(f"backend={jax.default_backend()} edges={num_edges} "
         f"V_pad={plan.V} E_loc_pad={plan.E_loc} M_pad={plan.M}")
 
+    import jax.numpy as jnp
+
+    def hard_sync(x):
+        """Fetch a concrete scalar derived from x. block_until_ready through
+        the axon tunnel can return long before the device finishes (measured
+        945x early on a 1 GB-stream kernel); transferring an actual value
+        cannot complete early."""
+        return float(np.asarray(jnp.sum(x)))
+
     # warmup / compile
     t0 = time.perf_counter()
     engine.run_epoch()
-    jax.block_until_ready(engine.weights)
+    hard_sync(engine.weights[0])
     log(f"compile+first epoch: {time.perf_counter() - t0:.2f}s")
 
-    # timed epochs. The tunnel misreports completion for short dispatch
-    # queues (block_until_ready can return before the device finishes —
-    # measured up to 40x inflation), so chain data-dependent epochs until
-    # the measured window is >= 0.5 s of real work.
+    # timed epochs: chain data-dependent epochs and close the window with a
+    # value fetch; grow the chain until the window holds >= 0.5 s of work.
     reps = 8
     while True:
         t0 = time.perf_counter()
         for _ in range(reps):
             m = engine.run_epoch()
-        jax.block_until_ready(engine.weights)
+        hard_sync(engine.weights[0])
         dt = time.perf_counter() - t0
         if dt >= 0.5 or reps >= 4096:
             break
