@@ -227,10 +227,11 @@ class PallasSpmmTiled:
             bjls.append(bjl.astype(np.int32))
             vgroups.append(v)
 
-        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
-        bounds = np.r_[starts, len(cell)]
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            emit(bi[s:e], bj[s:e], vals[s:e], int(bjc[s]), int(bic[s]))
+        if len(cell):  # nnzb==0: only the coverage groups below emit
+            starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+            bounds = np.r_[starts, len(cell)]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                emit(bi[s:e], bj[s:e], vals[s:e], int(bjc[s]), int(bic[s]))
         for j in np.flatnonzero(~seen_dst):  # uncovered out supertiles
             emit(np.zeros(1, np.int32), np.zeros(1, np.int32),
                  zero_block[None], int(j), 0)
@@ -377,10 +378,12 @@ class PallasSpmmMerged:
             bils.append(bil.astype(np.int32))
             vgroups.append(v)
 
-        starts = np.flatnonzero(np.r_[True, run_key[1:] != run_key[:-1]])
-        bounds = np.r_[starts, len(run_key)]
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            emit(bi[s:e], int(bj[s]), vals[s:e], int(bjc[s]), int(bic[s]))
+        if len(run_key):  # nnzb==0: only the coverage groups below emit
+            starts = np.flatnonzero(np.r_[True, run_key[1:] != run_key[:-1]])
+            bounds = np.r_[starts, len(run_key)]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                emit(bi[s:e], int(bj[s]), vals[s:e], int(bjc[s]),
+                     int(bic[s]))
         for j in np.flatnonzero(~seen_dst):  # uncovered out supertiles
             emit(np.zeros(1, np.int32), j * self.Cd, zero_block[None],
                  int(j), 0)

@@ -120,6 +120,40 @@ class TestPallasSpmm:
         got = np.asarray(k(jnp.asarray(ht)))
         assert np.abs(got[:, 128:]).max() == 0.0
 
+    def test_empty_graph_all_variants(self):
+        # nnzb == 0: every variant must still emit zeroed coverage blocks
+        # (ADVICE r1: merged/tiled used to IndexError on an empty run loop)
+        from cognn_tpu.ops.pallas_spmm import PallasSpmmMerged, PallasSpmmTiled
+
+        m = build_bcsr(np.zeros(0, np.int64), np.zeros(0, np.int64), 256, 256)
+        assert m.nnzb == 0
+        ht = RNG.normal(size=(8, m.n_src_blocks * BLOCK)).astype(np.float32)
+        for k in (PallasSpmm(m, interpret=True),
+                  PallasSpmmTiled(m, G=4, C=2, Cd=2, interpret=True),
+                  PallasSpmmMerged(m, G=4, C=2, Cd=2, interpret=True)):
+            got = np.asarray(k(jnp.asarray(ht)))
+            assert got.shape == (8, m.n_dst_blocks * BLOCK)
+            assert np.abs(got).max() == 0.0
+
+    @pytest.mark.skipif(jax.default_backend() != "tpu",
+                        reason="Mosaic lowering check needs a real chip "
+                               "(COGNN_TPU_TEST_TPU=1)")
+    def test_merged_tpu_lowering_parity(self):
+        # ADVICE r1: the merged kernel's in-kernel lane-axis concatenate and
+        # [G,128,128]->[G*128,128] reshape are Mosaic lowerings with no
+        # TPU-mode coverage elsewhere; run compiled (not interpret) here.
+        from cognn_tpu.ops.pallas_spmm import PallasSpmmMerged
+
+        V, E, D = 1024, 4096, 16
+        src, dst = random_edges(V, E, band=256)
+        m = build_bcsr(src, dst, V, V)
+        ht = RNG.normal(size=(D, m.n_src_blocks * BLOCK)).astype(np.float32)
+        k = PallasSpmmMerged(m, G=4, C=4, Cd=4, interpret=False)
+        got = np.asarray(k(jnp.asarray(ht)))
+        ref = bcsr_spmm_reference(m, ht)
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 5e-3
+
     def test_empty_dst_blocks_zeroed(self):
         # all edges target block 0; higher dst blocks must come out zero
         src = RNG.integers(0, 512, 100)

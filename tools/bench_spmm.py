@@ -107,10 +107,26 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
+    ref_cache = []
+
+    def check(kernel, tag):
+        """rel err of kernel(x) vs a float64 numpy scatter-add oracle —
+        independent of the base kernel so --skip-base still validates."""
+        if not ref_cache:
+            U = np.zeros((V, D))
+            np.add.at(U, dst, ht0.astype(np.float64).T[:V][src])
+            ref_cache.append(U)
+        got = np.asarray(kernel(x)).T[:V]
+        rel = (np.abs(got - ref_cache[0]).max()
+               / max(np.abs(ref_cache[0]).max(), 1e-9))
+        print(f"  {tag} vs numpy rel err {rel:.2e} "
+              "(bf16 operand rounding)", flush=True)
+
     if k is not None:
         t = timeit(k)
         print(f"pallas bcsr_spmm: {t*1e3:.3f} ms  {E/t/1e9:.2f} Gedge/s  "
               f"(roofline {mb/819:.3f} ms @819GB/s)", flush=True)
+        check(k, "base")
     else:
         t = None
         print(f"(base kernel skipped; roofline {mb/819:.3f} ms @819GB/s)",
@@ -119,7 +135,6 @@ def main():
     if args.tiled:
         from cognn_tpu.ops.pallas_spmm import PallasSpmmTiled
 
-        base = np.asarray(k(x)) if k is not None else None
         for g in (int(s) for s in args.g.split(",")):
             kt = PallasSpmmTiled(m, G=g, C=args.c, Cd=args.c,
                                  block_major=not args.lane_layout)
@@ -131,16 +146,11 @@ def main():
             print(f"pallas tiled(G={g},C={args.c}): {tt*1e3:.3f} ms  "
                   f"{E/tt/1e9:.2f} Gedge/s  stream={pad_mb:.0f} MB "
                   f"(pad {pad_mb/mb - 1:+.0%}){vs}", flush=True)
-            if base is not None:
-                got = np.asarray(kt(x))[:, :m.n_dst_blocks * 128]
-                rel = (np.abs(got - base).max()
-                       / max(np.abs(base).max(), 1e-9))
-                print(f"  tiled vs base rel err {rel:.2e}", flush=True)
+            check(kt, f"tiled(G={g})")
 
     if args.merged:
         from cognn_tpu.ops.pallas_spmm import PallasSpmmMerged
 
-        base = np.asarray(k(x)) if k is not None else None
         for g in (int(s) for s in args.merged.split(",")):
             km = PallasSpmmMerged(m, G=g, C=args.c, Cd=args.c)
             jax.block_until_ready(km(x))  # compile
@@ -150,11 +160,7 @@ def main():
             print(f"pallas merged(G={g},C={args.c}): {tm*1e3:.3f} ms  "
                   f"{E/tm/1e9:.2f} Gedge/s  stream={pad_mb:.0f} MB "
                   f"(pad {pad_mb/mb - 1:+.0%}){vs}", flush=True)
-            if base is not None:
-                got = np.asarray(km(x))[:, :m.n_dst_blocks * 128]
-                rel = (np.abs(got - base).max()
-                       / max(np.abs(base).max(), 1e-9))
-                print(f"  merged vs base rel err {rel:.2e}", flush=True)
+            check(km, f"merged(G={g})")
 
     if args.skip_xla:
         return
@@ -176,14 +182,8 @@ def main():
         jax.block_until_ready(xla_segsum(H))
         times.append(time.perf_counter() - t0)
     t2 = min(times)
-    print(f"xla take+segsum:  {t2*1e3:.3f} ms  {E/t2/1e9:.2f} Gedge/s  "
-          f"-> pallas speedup {t2/t:.1f}x")
-
-    U = np.zeros((V, D))
-    np.add.at(U, dst, ht0.astype(np.float64).T[:V][src])
-    got = np.asarray(k(x)).T[:V]
-    rel = np.abs(got - U).max() / max(np.abs(U).max(), 1e-9)
-    print(f"correctness: rel err {rel:.2e} (bf16 operand rounding)")
+    vs = f"  -> pallas speedup {t2/t:.1f}x" if t is not None else ""
+    print(f"xla take+segsum:  {t2*1e3:.3f} ms  {E/t2/1e9:.2f} Gedge/s{vs}")
 
     # SDDMM companion (per-edge scores over the same block structure)
     from cognn_tpu.ops.pallas_sddmm import PallasSddmm
