@@ -293,6 +293,7 @@ class GasEngine:
             self._epoch = jax.jit(functools.partial(self._epoch_body, _Comm()))
             self._forward = jax.jit(
                 functools.partial(self._forward_body, _Comm()))
+        self._epochs_cache: Dict[int, object] = {}
 
     # ------------------------------------------------------------------
     def _build_sharded(self, body):
@@ -557,6 +558,21 @@ class GasEngine:
                 h = g
         return weights, metrics
 
+    def _epochs_body(self, comm, n, arr, weights, x0, agg=None):
+        """``n`` epochs as ONE compiled ``lax.scan`` — the entire training
+        loop is a single device program, so per-epoch dispatch overhead
+        (which dominates at Planetoid scale: ~0.9 ms/epoch of launch latency
+        vs ~0.1 ms of device work) amortizes to zero. The scan body is the
+        same traced epoch as :meth:`run_epoch`; metrics come back stacked
+        per epoch with the party axis leading ([P, n])."""
+        def step(ws, _):
+            ws, metrics = self._epoch_body(comm, arr, ws, x0, agg)
+            return ws, metrics
+
+        weights, metrics = jax.lax.scan(step, list(weights), None, length=n)
+        metrics = jax.tree.map(lambda m: jnp.moveaxis(m, 0, 1), metrics)
+        return weights, metrics
+
     def _epoch_unopt(self, comm, arr, weights, x0, agg=None):
         L = self.L
         lr = self.dtype(self.param.learning_rate)
@@ -609,6 +625,24 @@ class GasEngine:
         metrics = None
         for _ in range(n):
             metrics = self.run_epoch()
+        return metrics
+
+    def run_epochs_scan(self, n: int):
+        """Run ``n`` epochs in one compiled program (lax.scan over the epoch
+        body). Returns per-epoch metrics, each entry shaped [P, n]. One
+        compile per distinct ``n`` (cached)."""
+        fn = self._epochs_cache.get(n)
+        if fn is None:
+            if self.mode == "sharded":
+                def body(comm, arr, weights, x0, agg):
+                    return self._epochs_body(comm, n, arr, weights, x0, agg)
+                fn = self._build_sharded(body)
+            else:
+                fn = jax.jit(
+                    functools.partial(self._epochs_body, _Comm(), n))
+            self._epochs_cache[n] = fn
+        self.weights, metrics = fn(self.arr, self.weights, self.x0,
+                                   self._agg_data)
         return metrics
 
     @staticmethod

@@ -197,9 +197,12 @@ def main():
         run_training(ds, 2, 1, "opt_inference", args.mpc, "opt_inference")
         print("inference done")
     if args.fedgnn:
-        run_training(ds, 2, args.epochs or 90, "opt", False, "fedgnn",
-                     fedgnn=True)
-        print("fedgnn done")
+        # one run per party count, like the reference's fed-gcn sweep
+        # (`tmp_run_cluster.py:309-331`)
+        for p in (args.parties or [2, 3, 4, 5]):
+            run_training(ds, p, args.epochs or 90, "opt", False,
+                         f"fedgnn_{p}p", fedgnn=True)
+            print(f"fedgnn {p} parties done")
     if args.plaintext:
         run_training(ds, 1, args.epochs or 90, "opt", False, "plaintext")
         print("plaintext done")
