@@ -326,10 +326,14 @@ class GasEngine:
                           for k, v in self._agg_data.items()}
 
     def _out_tree(self, body):
-        # evaluate output structure abstractly for out_specs
+        # evaluate output structure abstractly for out_specs; inputs are
+        # reduced to bare shape/dtype so placed arrays (explicit-axis mesh)
+        # don't leak shardings into the stacked-_Comm trace
         comm = _Comm()
-        outs = jax.eval_shape(functools.partial(body, comm), self.arr,
-                              self.weights, self.x0, self._agg_data)
+        abstract = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), a.dtype),
+            (self.arr, self.weights, self.x0, self._agg_data))
+        outs = jax.eval_shape(functools.partial(body, comm), *abstract)
         return outs
 
     # ------------------------------------------------------------------

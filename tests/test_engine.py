@@ -50,6 +50,31 @@ def test_epoch_matches_oracle(n_parties, variant):
     assert int(m["num_border"][0]) == om.num_border
 
 
+@pytest.mark.parametrize("mode", ["stacked", "sharded"])
+def test_scan_epochs_match_loop(mode):
+    """run_epochs_scan(n) (one lax.scan program) == n run_epoch dispatches."""
+    if mode == "sharded" and len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    src, dst, feats, labels = make_dataset(n=48, m=300, homophily=0.7)
+    param = make_param(48, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    kw = {}
+    if mode == "sharded":
+        kw = dict(mode="sharded", mesh=jax.make_mesh((2,), ("party",)))
+    loop = GasEngine(build_device_plan(graphs), param, "opt")
+    scan = GasEngine(build_device_plan(graphs), param, "opt", **kw)
+    m_loop = loop.run_epochs(3)
+    m_scan = scan.run_epochs_scan(3)
+    for l in range(2):
+        np.testing.assert_allclose(np.asarray(scan.weights[l]),
+                                   np.asarray(loop.weights[l]), atol=1e-5)
+    for k in m_loop:
+        np.testing.assert_allclose(np.asarray(m_scan[k])[:, -1],
+                                   np.asarray(m_loop[k]), atol=1e-5,
+                                   err_msg=k)
+    assert np.asarray(m_scan["loss"]).shape == (2, 3)
+
+
 def test_forward_matches_oracle():
     engine, oracle, graphs = setup(2)
     z, prob, metrics = engine.forward()

@@ -104,6 +104,37 @@ def test_cluster_driver_and_plots(tmp_path):
             cwd=tmp_path)
     assert r.returncode == 0, r.stderr
     assert "mean_epoch=" in r.stdout
+    r = run([str(REPO / "tools/plot/plot_duration_breakdown_and_comm.py"),
+             "--setting", "smallest_efficiency", "--datasets", "cora_small"],
+            cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "| iteration |" in r.stdout.replace("| iteration ", "| iteration ")
+    assert "duration breakdown" in r.stdout
+
+
+def test_multiparty_plots(tmp_path):
+    """fedgnn sweep + the multi-party/scale plot scripts end to end."""
+    r = run([str(REPO / "tools/run_cluster.py"), "--cognn-opt-accuracy",
+             "--fedgnn", "--plaintext", "--dataset", "cora_small",
+             "--epochs", "2", "--parties", "2"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "log/fedgnn_2p/gcn_test_cora_small_0.log").exists()
+    r = run([str(REPO / "tools/plot/plot_multiparty_accuracy.py"),
+             "--dataset", "cora_small", "--parties", "2",
+             "--out", str(tmp_path / "mp.png")], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "plaintext test=" in r.stdout
+    assert (tmp_path / "mp.png").stat().st_size > 1000
+    r = run([str(REPO / "tools/plot/plot_accuracy_various_graph_num.py"),
+             "--dataset", "cora_small", "--parties", "2",
+             "--out", str(tmp_path / "gn.png")], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "final test=" in r.stdout
+    r = run([str(REPO / "tools/plot/plot_duration_and_comm_scale.py"),
+             "--prefix", "opt_accuracy", "--suffix", "p", "--parties", "2",
+             "--dataset", "cora_small"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "duration growth" not in r.stderr
 
 
 def test_cluster_mode_two_processes(dataset_dir, tmp_path):
