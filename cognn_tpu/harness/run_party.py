@@ -103,8 +103,11 @@ def main(argv=None) -> int:
 
         fp = FixedPointSpec(RING64 if cfg.ring_bits == 64 else RING32,
                             cfg.scaler_bits)
+        # mpc supports sparse (default) and dense (stacked) aggregation
+        mpc_agg = aggregation if aggregation == "dense" else "sparse"
         engine = MpcGasEngine(plan, param, cfg.variant, fp=fp,
-                              mode=args.mode, mesh=mesh)
+                              mode=args.mode, mesh=mesh,
+                              aggregation=mpc_agg)
     else:
         engine = GasEngine(plan, param, cfg.variant, mode=args.mode,
                            mesh=mesh, aggregation=aggregation)

@@ -85,6 +85,42 @@ def _shift64_u32(p: jnp.ndarray, s: int, L: int) -> jnp.ndarray:
     return jnp.stack([jnp.zeros_like(p), p << _U32(s - 32)])
 
 
+def _dense_agg_shares(adj_bf16: jnp.ndarray, sh_flat: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Exact mod-2^(32L) share aggregation upd = A^T @ sh on the MXU.
+
+    adj_bf16: [Vsrc, Vdst] small-integer edge counts (bf16-exact);
+    sh_flat: uint32 [S, L, Vsrc, D]. Each 32-bit limb splits into four byte
+    planes; all S*L*4 planes ride ONE bf16 matmul with f32 accumulation
+    (exact while 255 * max in-slot count < 2^24 — guaranteed by
+    `_check_segment_widths`' 2^15 cap), then recombine with carries.
+    This is the dense-MXU OGA: the entire scatter/premerge/halo/gather
+    pipeline of `_aggregate` as one matrix product, the share-space twin of
+    the plaintext engine's dense backend (SecureAggregation ADD,
+    `optimize-gcn/gcn.h:309-342`)."""
+    S, L, V, D = sh_flat.shape
+    planes = []
+    for s in range(S):
+        for l in range(L):
+            word = sh_flat[s, l]
+            for b in range(4):
+                planes.append(((word >> _U32(8 * b)) & _U32(0xFF))
+                              .astype(jnp.bfloat16))
+    rhs = jnp.concatenate(planes, axis=-1)  # [V, S*L*4*D]
+    out = jax.lax.dot_general(adj_bf16, rhs, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = out.reshape(out.shape[0], S * L * 4, D).astype(_U32)
+    acc = [None] * S
+    for s in range(S):
+        for l in range(L):
+            for b in range(4):
+                term = _shift64_u32(out[:, (s * L + l) * 4 + b],
+                                    32 * l + 8 * b, L)
+                acc[s] = term if acc[s] is None else ring_add(
+                    _spec_for(L), acc[s], term)
+    return jnp.stack(acc)  # [S, L, Vdst, D]
+
+
 def _ring_psum_shares(sh: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """Exact mod-2^64 sum of share tensors across a mesh axis, carry-free:
     16-bit planes -> int32 psum -> recombine (valid for < 2^15 parties)."""
@@ -155,10 +191,28 @@ class MpcGasEngine:
                  fp: FixedPointSpec | None = None,
                  truncation: str = "exact", seed: int = 42,
                  prng_seed: int = 0, mode: str = "stacked",
-                 mesh=None, compile_mode: str = "phase"):
+                 mesh=None, compile_mode: str = "phase",
+                 aggregation: str = "sparse"):
         if variant not in ("opt", "opt_inference", "unopt"):
             raise ValueError(variant)
         set_split(plan, param.train_ratio, param.val_ratio)
+        if aggregation == "dense":
+            if plan.dense_adj is None:
+                raise ValueError("dense aggregation needs a dense=True plan")
+            if mode != "stacked":
+                raise ValueError("dense mpc aggregation is stacked-only")
+            if plan.dense_adj.max() > 256:
+                raise ValueError("edge multiplicity > 256 breaks bf16 "
+                                 "exactness of the dense share aggregation")
+            Pn, Vn = plan.num_parties, plan.V
+            flat = plan.dense_adj.transpose(0, 2, 1, 3).reshape(
+                Pn * Vn, Pn * Vn)
+            self._dense_adj = jnp.asarray(flat, jnp.bfloat16)
+        elif aggregation == "sparse":
+            self._dense_adj = None
+        else:
+            raise ValueError(aggregation)
+        self.aggregation = aggregation
         self.plan = plan
         self.param = param
         self.variant = variant
@@ -445,6 +499,18 @@ class MpcGasEngine:
         V, M, P = plan.V, plan.M, plan.num_parties
         D = sh.shape[-1]
 
+        if self._dense_adj is not None:
+            # dense-MXU path: the whole pipeline is one exact byte-plane
+            # matmul over the flattened (party, vertex) axis
+            S, L = sh.shape[:2]
+            flat = sh.reshape(S, L, P * V, D)
+            upd = _dense_agg_shares(self._dense_adj, flat).reshape(sh.shape)
+            agg = self.proto.add(sh, upd)
+            if dest_scale:
+                key, k = jax.random.split(key)
+                agg = self._scale_rows(k, agg, n0_fp)
+            return agg
+
         def take(h_p, idx_p):  # h [2,L,V,D] idx [E] -> [2,L,E,D]
             return h_p[:, :, idx_p]
 
@@ -493,7 +559,17 @@ class MpcGasEngine:
         if dest_scale:
             key, k = jax.random.split(key)
             agg = self._scale_rows(k, agg, n0_fp)
-        return agg
+        # XLA/TPU miscompile guard: without this barrier, fusing the sparse
+        # share aggregation (u32 plane segment-sums + gathers + scatters +
+        # truncation) with downstream ops produces corrupted reconstructions
+        # on TPU at Planetoid scale (deterministic; revealed z jumps from
+        # ~0.3 to ~2^31). Reproduced 2026-08: the identical program with
+        # per-step reveals — or with this barrier — is correct; CPU is
+        # always correct; the dense-matmul aggregation path is unaffected;
+        # placing the barrier BEFORE the dest-scale is NOT sufficient. The
+        # barrier only blocks cross-boundary fusion; it costs nothing
+        # measurable and the parity tests pin sparse == dense bit-exactly.
+        return jax.lax.optimization_barrier(agg)
 
     # ------------------------------------------------------------------
     def _predict_apply(self, key, arr, z_sh):

@@ -120,6 +120,23 @@ class TestMpcEngine:
         assert last["train_acc"].mean() > 0.7
 
 
+def test_dense_mpc_aggregation_matches_sparse():
+    """The dense byte-plane MXU share aggregation is an exact ring sum of
+    the same values as the sparse OGA path -> bit-identical training."""
+    src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
+    param = make_param(32, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    sparse = MpcGasEngine(build_device_plan(graphs), param)
+    dense = MpcGasEngine(build_device_plan(graphs, dense=True), param,
+                         aggregation="dense")
+    ms = sparse.metrics_host(sparse.run_epochs(2))
+    md = dense.metrics_host(dense.run_epochs(2))
+    np.testing.assert_array_equal(md["loss"], ms["loss"])
+    for l in range(2):
+        np.testing.assert_array_equal(dense.reveal_weights()[l],
+                                      sparse.reveal_weights()[l])
+
+
 def test_sharded_mpc_matches_stacked():
     """Multi-device secret-shared training == stacked (bit-identical)."""
     if len(jax.devices()) < 4:

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--scan", type=int, default=64)
     ap.add_argument("--dataset", default="cora")
     ap.add_argument("--parties", type=int, default=2)
+    ap.add_argument("--mpc", action="store_true",
+                    help="secret-shared engine (per-epoch dispatches, "
+                         "phase-jit)")
     args = ap.parse_args()
 
     import jax
@@ -48,30 +51,43 @@ def main():
     def hard_sync(x):
         return float(np.asarray(jnp.sum(x)))
 
-    log(f"backend={jax.default_backend()} edges={len(ds.src)}")
+    log(f"backend={jax.default_backend()} edges={len(ds.src)} "
+        f"mpc={args.mpc}")
     for agg in args.agg.split(","):
         plan = build_device_plan(graphs, lane=128, dense=(agg == "dense"))
-        eng = GasEngine(plan, ds.param, "opt", aggregation=agg)
+        if args.mpc:
+            from cognn_tpu.mpc import MpcGasEngine
+
+            eng = MpcGasEngine(plan, ds.param, "opt", aggregation=agg)
+            sync_arr = lambda: eng.weights_sh[0]  # noqa: E731
+            run = lambda: eng.run_epoch()  # noqa: E731
+            per_call = 1
+        else:
+            eng = GasEngine(plan, ds.param, "opt", aggregation=agg)
+            sync_arr = lambda: eng.weights[0]  # noqa: E731
+            run = lambda: eng.run_epochs_scan(args.scan)  # noqa: E731
+            per_call = args.scan
         t0 = time.perf_counter()
-        m = eng.run_epochs_scan(args.scan)
-        hard_sync(eng.weights[0])
-        log(f"[{agg}] compile+first scan({args.scan}): "
-            f"{time.perf_counter() - t0:.2f}s")
+        m = run()
+        hard_sync(sync_arr())
+        log(f"[{agg}] compile+first call: {time.perf_counter() - t0:.2f}s")
         reps = 1
         while True:
             t0 = time.perf_counter()
             for _ in range(reps):
-                m = eng.run_epochs_scan(args.scan)
-            hard_sync(eng.weights[0])
+                m = run()
+            hard_sync(sync_arr())
             dt = time.perf_counter() - t0
             if dt >= 0.5 or reps >= 512:
                 break
             reps = min(512, max(reps * 2, int(reps * 0.6 / max(dt, 1e-6))))
-        per_epoch = dt / (reps * args.scan)
+        per_epoch = dt / (reps * per_call)
         eps = eng.epoch_layers * len(ds.src) / per_epoch
+        loss = np.asarray(m["loss"])
+        loss = loss[0, -1] if loss.ndim == 2 else loss[0]
         log(f"[{agg}] per-epoch {per_epoch*1e6:.0f} us  "
-            f"({reps} x scan({args.scan}))  edge-iters/s {eps:.3g}  "
-            f"loss={float(np.asarray(m['loss'])[0, -1]):.4f}")
+            f"({reps} x {per_call})  edge-iters/s {eps:.3g}  "
+            f"loss={float(loss):.4f}")
 
 
 if __name__ == "__main__":
