@@ -17,10 +17,10 @@ Layer map (mirrors SURVEY.md §1, rebuilt TPU-first):
              SecureAggregation / ObliviousMapper call surface)
   models/    GCN model math: CoGNN-Opt / CoGNN(unopt) / inference schedules
              (replaces `algo_kernels/vertex_centric/*/gcn.h`)
-  engine/    GAS phase scheduler — the iteration loop
-             (replaces `include/ss_vertex_centric_algo_kernel.h`)
-  parallel/  device-mesh sharding, halo (mirror-vertex) exchange collectives
-             (replaces `include/comm_sync.h` + `include/engine.h` channel mesh)
+  engine/    GAS phase scheduler — the iteration loop — plus the device-mesh
+             sharding / halo (mirror-vertex) exchange collectives
+             (replaces `include/ss_vertex_centric_algo_kernel.h` and the
+             `include/comm_sync.h` + `include/engine.h` channel mesh)
   mpc/       secret-shared execution mode over the same engine
   harness/   CLI + per-party entry points (replaces `include/harness.h`,
              `algo_kernels/common_harness/harness.cpp`)

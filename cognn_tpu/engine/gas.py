@@ -147,6 +147,42 @@ def _party_edges(plan: DevicePlan, p: int):
     return np.concatenate(srcs), np.concatenate(dsts)
 
 
+def flat_dense_adjacency(plan: DevicePlan) -> np.ndarray:
+    """[(P·V)src, (P·V)dst] edge-count matrix, built from the index plan
+    (equals ``plan.dense_adj`` flattened when that was precomputed)."""
+    P, V = plan.num_parties, plan.V
+    if plan.dense_adj is not None:
+        return plan.dense_adj.transpose(0, 2, 1, 3).reshape(P * V, P * V)
+    flat = np.zeros((P * V, P * V), np.float32)
+    for p in range(P):
+        s, d = _party_edges(plan, p)
+        np.add.at(flat, (p * V + s, d), 1.0)
+    return flat
+
+
+def select_backend(plan: DevicePlan, mode: str) -> str:
+    """``aggregation="auto"`` policy — pick the measured-best backend.
+
+    Measured on one TPU v5e (tools/bench_spmm.py + GOLDEN.md): the XLA
+    take+segment_sum sparse path is DMA-descriptor-bound (~0.06 Gedge/s);
+    the dense flat-adjacency MXU matmul wins while (P·V)^2 fits
+    ``DENSE_ADJ_BUDGET`` (Cora-scale: 462M -> 1.85B edge-iters/s going
+    sparse -> dense); above that the Pallas block-sparse SpMM (bcsr) wins
+    (4.75 Gedge/s vs 0.06 at V=32k). On CPU and in sharded mode the sparse
+    path stays the default: CPU has no descriptor bottleneck (and keeps
+    golden runs bit-stable), and the sharded collective layouts are
+    validated per-backend explicitly.
+    """
+    if mode != "stacked" or jax.default_backend() != "tpu":
+        return "sparse"
+    P, V = plan.num_parties, plan.V
+    from cognn_tpu.engine.plan import DENSE_ADJ_BUDGET
+
+    if P * P * V * V <= DENSE_ADJ_BUDGET:
+        return "dense"
+    return "bcsr"
+
+
 def _build_bcsr_spmm(plan: DevicePlan):
     """Flatten all parties' real edge slots into one global (P*V)^2 BCSR
     matrix and bind the Pallas SpMM kernel (stacked mode: the halo exchange
@@ -246,23 +282,22 @@ class GasEngine:
         # the explicit ``agg`` pytree (a closure would replicate it per
         # device under shard_map); stacked-mode backends stay closures.
         self._agg_data: Dict[str, jnp.ndarray] = {}
-        if plan.dense_adj is not None and mode == "stacked":
-            # flatten [P,P,V,V] -> [(P V)src, (P V)dst] for one MXU matmul
-            P, V = plan.num_parties, plan.V
-            flat = plan.dense_adj.transpose(0, 2, 1, 3).reshape(P * V, P * V)
-            self._dense_adj = jnp.asarray(flat, dtype)
-        else:
-            self._dense_adj = None
         if aggregation == "auto":
-            aggregation = ("dense" if plan.dense_adj is not None
-                           and mode == "stacked" else "sparse")
+            aggregation = select_backend(plan, mode)
+        self._dense_adj = None
         if aggregation == "dense":
-            if plan.dense_adj is None:
-                raise ValueError("dense aggregation needs a dense=True plan")
             if mode == "sharded":
+                if plan.dense_adj is None:
+                    raise ValueError(
+                        "sharded dense aggregation needs a dense=True plan")
                 # per-source-party blocked adjacency, sharded over axis 0;
                 # the halo then ships V dense update rows per peer
                 self._agg_data["adj"] = jnp.asarray(plan.dense_adj, dtype)
+            else:
+                # [(P V)src, (P V)dst] flat matrix for one MXU matmul;
+                # derived from the index plan when no dense=True plan
+                self._dense_adj = jnp.asarray(flat_dense_adjacency(plan),
+                                              dtype)
         self._bcsr_spmm = None
         self._bcsr_blocks = None
         if aggregation == "bcsr":
@@ -644,6 +679,8 @@ class GasEngine:
             else:
                 fn = jax.jit(
                     functools.partial(self._epochs_body, _Comm(), n))
+            while len(self._epochs_cache) >= 8:  # bound: drop oldest n
+                self._epochs_cache.pop(next(iter(self._epochs_cache)))
             self._epochs_cache[n] = fn
         self.weights, metrics = fn(self.arr, self.weights, self.x0,
                                    self._agg_data)

@@ -17,6 +17,16 @@ _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _SO = _NATIVE_DIR / "libcognn_graph.so"
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
+_thread_override = 0
+
+
+def set_threads(n: int) -> None:
+    """Cap the native parser's thread pool (the harness's ``-t`` flag;
+    reference `graph_io_util.h:118` 8-thread load pool). 0 = auto."""
+    global _thread_override
+    _thread_override = int(n)
+    if _lib is not None and hasattr(_lib, "cognn_set_threads"):
+        _lib.cognn_set_threads(_thread_override)
 
 
 def _load() -> ctypes.CDLL:
@@ -33,6 +43,13 @@ def _load() -> ctypes.CDLL:
             _build_failed = True
             raise OSError(f"native build failed: {e}") from e
     lib = ctypes.CDLL(str(_SO))
+    try:
+        lib.cognn_set_threads.restype = None
+        lib.cognn_set_threads.argtypes = [ctypes.c_int64]
+        if _thread_override:
+            lib.cognn_set_threads(_thread_override)
+    except AttributeError:  # stale .so predating the -t plumbing
+        pass
     lib.cognn_count_rows.restype = ctypes.c_int64
     lib.cognn_count_rows.argtypes = [ctypes.c_char_p]
     lib.cognn_parse_edge_list.restype = ctypes.c_int64

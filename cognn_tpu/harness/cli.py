@@ -25,15 +25,19 @@ def build_parser() -> argparse.ArgumentParser:
         prog="cognn-tpu",
         description="TPU-native collaborative GNN training/inference "
                     "(CoGNN capability rebuild)")
-    p.add_argument("-t", "--threads", type=int, default=1,
-                   help="host thread count (graph load)")
+    p.add_argument("-t", "--threads", type=int, default=0,
+                   help="native graph-loader thread cap (0 = auto)")
     p.add_argument("-g", "--tiles", type=int, default=2,
                    help="number of parties/graph tiles")
     p.add_argument("-i", "--tile-index", type=int, default=0,
                    help="this party's index (per-party mode)")
     p.add_argument("-m", "--max-iters", type=int, default=6,
                    help="GAS schedule iterations (6 per opt epoch)")
-    p.add_argument("-p", "--num-parts", type=int, default=1)
+    p.add_argument("-p", "--num-parts", type=int, default=1,
+                   help="accepted for reference CLI parity; the reference "
+                        "GCN kernels never read numParts either (it feeds "
+                        "the vestigial plaintext analytics path, "
+                        "algo_kernel.h:82-89)")
     p.add_argument("-s", "--setting", type=str, default="default",
                    help="run setting tag (log/checkpoint naming)")
     p.add_argument("-n", "--no-preprocess", action="store_true",

@@ -31,6 +31,10 @@ def load_party_graphs(cfg, param: GNNParam):
     from cognn_tpu.graph import (build_party_graph, read_edge_list,
                                  read_partition_file, read_vertex_file)
 
+    if cfg.threads > 0:
+        from cognn_tpu.graph import native_io
+
+        native_io.set_threads(cfg.threads)
     with duration_span("graph_load"):
         src, dst, w = read_edge_list(cfg.edge_file,
                                      undirected=cfg.undirected)
@@ -105,6 +109,10 @@ def main(argv=None) -> int:
                             cfg.scaler_bits)
         # mpc supports sparse (default) and dense (stacked) aggregation
         mpc_agg = aggregation if aggregation == "dense" else "sparse"
+        if aggregation not in ("auto", "sparse", "dense"):
+            print(f"WARNING: --aggregation {aggregation} is not available "
+                  "under --mpc; running the sparse share backend instead",
+                  flush=True)
         engine = MpcGasEngine(plan, param, cfg.variant, fp=fp,
                               mode=args.mode, mesh=mesh,
                               aggregation=mpc_agg)

@@ -92,8 +92,9 @@ def _dense_agg_shares(adj_bf16: jnp.ndarray, sh_flat: jnp.ndarray
     adj_bf16: [Vsrc, Vdst] small-integer edge counts (bf16-exact);
     sh_flat: uint32 [S, L, Vsrc, D]. Each 32-bit limb splits into four byte
     planes; all S*L*4 planes ride ONE bf16 matmul with f32 accumulation
-    (exact while 255 * max in-slot count < 2^24 — guaranteed by
-    `_check_segment_widths`' 2^15 cap), then recombine with carries.
+    (exact while 255 * a destination's TOTAL in-edge count over all source
+    parties < 2^24 — validated against the flattened adjacency column sums
+    at dense init), then recombine with carries.
     This is the dense-MXU OGA: the entire scatter/premerge/halo/gather
     pipeline of `_aggregate` as one matrix product, the share-space twin of
     the plaintext engine's dense backend (SecureAggregation ADD,
@@ -197,16 +198,26 @@ class MpcGasEngine:
             raise ValueError(variant)
         set_split(plan, param.train_ratio, param.val_ratio)
         if aggregation == "dense":
-            if plan.dense_adj is None:
-                raise ValueError("dense aggregation needs a dense=True plan")
             if mode != "stacked":
                 raise ValueError("dense mpc aggregation is stacked-only")
-            if plan.dense_adj.max() > 256:
+            from cognn_tpu.engine.gas import flat_dense_adjacency
+
+            flat = flat_dense_adjacency(plan)
+            if flat.max() > 256:
                 raise ValueError("edge multiplicity > 256 breaks bf16 "
                                  "exactness of the dense share aggregation")
-            Pn, Vn = plan.num_parties, plan.V
-            flat = plan.dense_adj.transpose(0, 2, 1, 3).reshape(
-                Pn * Vn, Pn * Vn)
+            # f32 accumulation in _dense_agg_shares is exact only while
+            # 255 * (total in-edge count of a destination, ALL source
+            # parties combined) < 2^24; _check_segment_widths caps counts
+            # per source party only, so with P >= 3 a destination could
+            # legally exceed this — validate the flattened column sums.
+            max_in = float(flat.sum(axis=0).max())
+            if max_in * 255 >= (1 << 24):
+                raise ValueError(
+                    f"a destination accumulates {int(max_in)} in-edges "
+                    "across all parties; 255 * count >= 2^24 overflows the "
+                    "f32 mantissa in the dense byte-plane share aggregation "
+                    "(use aggregation='sparse')")
             self._dense_adj = jnp.asarray(flat, jnp.bfloat16)
         elif aggregation == "sparse":
             self._dense_adj = None

@@ -1,32 +1,29 @@
-"""Neighborhood-aggregation primitives (the OGA / segment-sum SpMM layer).
+"""Neighborhood-aggregation primitives (the OGA / segment-sum layer).
 
-This module is the seam where the Pallas fast path plugs in: everything in the
-engine funnels sparse aggregation through :func:`segment_sum_rows`, which
-dispatches to the Pallas TPU kernel (`cognn_tpu.ops.pallas_segment`) when
-enabled and to ``jax.ops.segment_sum`` otherwise.
+Everything in the engines funnels sparse aggregation through
+:func:`segment_sum_rows` (``jax.ops.segment_sum`` over destination-sorted
+slots). This replaces the reference's external
+``SecureAggregation::prefix_network_aggregate`` (OGA,
+`optimize-gcn/gcn.h:309-342`) — an oblivious grouped ADD over
+destination-sorted edge slots — with a segment sum whose shape is
+data-independent (same obliviousness-by-padding contract).
 
-Replaces the reference's external ``SecureAggregation::prefix_network_aggregate``
-(OGA, `optimize-gcn/gcn.h:309-342`) — an oblivious grouped ADD over
-destination-sorted edge slots — with a destination-sorted segment sum whose
-shape is data-independent (same obliviousness-by-padding contract).
+Why there is deliberately NO hand-written Pallas kernel behind this seam:
+on TPU the row-wise path is bounded by per-row DMA descriptors on the
+*gather* side (``h[src]``, ~15 ns/row regardless of row width — measured in
+`ops/bcsr.py`), and a Pallas segment-sum could only remove the scatter side,
+capping its win at ~2x while staying two orders off the HBM roofline. The
+TPU-native fast path instead removes BOTH sides by turning aggregation into
+MXU work: the dense flat-adjacency matmul (small graphs) and the Pallas
+block-sparse SpMM (`ops/pallas_spmm.py`, large graphs). Backend selection
+lives in ``GasEngine`` (``aggregation="auto"``); this function is the
+general fallback that works for every shape, dtype, and mesh layout.
 """
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
-
-_USE_PALLAS = os.environ.get("COGNN_TPU_PALLAS", "auto")
-
-
-def use_pallas() -> bool:
-    if _USE_PALLAS == "1":
-        return True
-    if _USE_PALLAS == "0":
-        return False
-    return jax.default_backend() == "tpu"
 
 
 def segment_sum_rows(vals: jnp.ndarray, seg_ids: jnp.ndarray,
@@ -36,12 +33,5 @@ def segment_sum_rows(vals: jnp.ndarray, seg_ids: jnp.ndarray,
     ``seg_ids`` must be sorted ascending (destination-major slot order, which
     the device plan guarantees); out-of-range ids are dropped.
     """
-    if use_pallas():
-        try:
-            from cognn_tpu.ops.pallas_segment import pallas_segment_sum
-
-            return pallas_segment_sum(vals, seg_ids, num_segments)
-        except ImportError:
-            pass
     return jax.ops.segment_sum(vals, seg_ids, num_segments=num_segments,
                                indices_are_sorted=True)

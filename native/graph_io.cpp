@@ -79,7 +79,14 @@ std::vector<std::pair<size_t, size_t>> line_spans(const Mapped& m) {
     return spans;
 }
 
+// 0 = auto (hardware_concurrency, capped); set via cognn_set_threads
+// (the harness's -t flag, reference harness.h:25 "-t threads").
+int64_t g_thread_override = 0;
+
 unsigned worker_count(size_t rows) {
+    if (g_thread_override > 0)
+        return static_cast<unsigned>(
+            g_thread_override > 64 ? 64 : g_thread_override);
     unsigned hw = std::thread::hardware_concurrency();
     if (hw == 0) hw = 4;
     if (hw > 16) hw = 16;  // matches the reference's bounded load pool
@@ -107,6 +114,8 @@ void parallel_rows(size_t rows, Fn fn) {
 }  // namespace
 
 extern "C" {
+
+void cognn_set_threads(int64_t n) { g_thread_override = n; }
 
 int64_t cognn_count_rows(const char* path) {
     Mapped m = map_file(path);

@@ -108,7 +108,7 @@ def test_cluster_driver_and_plots(tmp_path):
              "--setting", "smallest_efficiency", "--datasets", "cora_small"],
             cwd=tmp_path)
     assert r.returncode == 0, r.stderr
-    assert "| iteration |" in r.stdout.replace("| iteration ", "| iteration ")
+    assert "| iteration |" in r.stdout
     assert "duration breakdown" in r.stdout
 
 

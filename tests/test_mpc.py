@@ -137,6 +137,24 @@ def test_dense_mpc_aggregation_matches_sparse():
                                       sparse.reveal_weights()[l])
 
 
+def test_dense_mpc_total_indeg_guard():
+    """A destination whose TOTAL in-edge count (all source parties
+    combined) reaches 2^24/255 must be rejected at dense init: the
+    byte-plane f32 accumulation would silently lose mantissa bits. The
+    per-party 2^15 cap does not catch this (ADVICE r2)."""
+    n_src = 258  # 258 * 256 = 66048 > 2^24 / 255 = 65793
+    src = np.repeat(np.arange(1, n_src + 1), 256)
+    dst = np.zeros_like(src)
+    n = n_src + 1
+    rng = np.random.default_rng(3)
+    feats = rng.random((n, 4))
+    labels = rng.integers(0, 3, n)
+    param = make_param(n, 4, 3)
+    graphs = build_parties(src, dst, feats, labels, 1)
+    with pytest.raises(ValueError, match="2\\^24"):
+        MpcGasEngine(build_device_plan(graphs), param, aggregation="dense")
+
+
 def test_sharded_mpc_matches_stacked():
     """Multi-device secret-shared training == stacked (bit-identical)."""
     if len(jax.devices()) < 4:

@@ -20,7 +20,8 @@ class TestDenseAggregation:
         src, dst, feats, labels = make_dataset(n=48, m=300, homophily=0.7)
         param = make_param(48, feats.shape[1], labels.max() + 1)
         graphs = build_parties(src, dst, feats, labels, n_parties)
-        e_dense = GasEngine(build_device_plan(graphs, dense=True), param)
+        e_dense = GasEngine(build_device_plan(graphs, dense=True), param,
+                            aggregation="dense")
         e_sparse = GasEngine(build_device_plan(graphs, dense=False), param)
         assert e_dense._dense_adj is not None
         assert e_sparse._dense_adj is None
@@ -36,6 +37,40 @@ class TestDenseAggregation:
         src, dst, feats, labels = make_dataset(n=48, m=300)
         graphs = build_parties(src, dst, feats, labels, 1)
         assert build_device_plan(graphs).dense_adj is None  # dense is opt-in
+
+    def test_dense_from_sparse_plan(self):
+        """aggregation='dense' derives the flat adjacency from the index
+        plan when the plan was not built with dense=True."""
+        src, dst, feats, labels = make_dataset(n=48, m=300, homophily=0.7)
+        param = make_param(48, feats.shape[1], labels.max() + 1)
+        graphs = build_parties(src, dst, feats, labels, 2)
+        from cognn_tpu.engine.gas import flat_dense_adjacency
+
+        plan_d = build_device_plan(graphs, dense=True)
+        plan_s = build_device_plan(graphs)
+        np.testing.assert_array_equal(flat_dense_adjacency(plan_d),
+                                      flat_dense_adjacency(plan_s))
+        e1 = GasEngine(plan_d, param, aggregation="dense")
+        e2 = GasEngine(plan_s, param, aggregation="dense")
+        m1 = GasEngine.metrics_host(e1.run_epochs(2))
+        m2 = GasEngine.metrics_host(e2.run_epochs(2))
+        np.testing.assert_array_equal(m1["loss"], m2["loss"])
+
+    def test_auto_backend_policy(self, monkeypatch):
+        """auto -> sparse off-TPU; on TPU dense under budget, else bcsr."""
+        import types
+
+        from cognn_tpu.engine import gas as gas_mod
+        from cognn_tpu.engine.plan import DENSE_ADJ_BUDGET
+
+        small = types.SimpleNamespace(num_parties=2, V=128)
+        big_v = int(np.sqrt(DENSE_ADJ_BUDGET)) + 1
+        big = types.SimpleNamespace(num_parties=1, V=big_v)
+        assert gas_mod.select_backend(small, "stacked") == "sparse"  # CPU
+        monkeypatch.setattr(gas_mod.jax, "default_backend", lambda: "tpu")
+        assert gas_mod.select_backend(small, "stacked") == "dense"
+        assert gas_mod.select_backend(big, "stacked") == "bcsr"
+        assert gas_mod.select_backend(small, "sharded") == "sparse"
 
 
 class TestRingMatmul:
