@@ -261,6 +261,7 @@ class MpcGasEngine:
             1.0 / jnp.asarray(plan.train_n, jnp.float32))  # [L, P]
 
         self.compile_mode = compile_mode
+        self._epochs_scan_cache: dict = {}
         if mode == "sharded":
             self._epoch = self._build_sharded(self._epoch_body)
             self._forward = self._build_sharded(self._forward_body)
@@ -476,9 +477,14 @@ class MpcGasEngine:
         arr_spec = jax.tree.map(lambda _: P("party"), self.arr)
         sh_spec = P(None, None, "party")  # [2, L, P, ...]
         fp_spec = P(None, "party")  # [L, P, ...] public fixed-point consts
-        outs = jax.eval_shape(functools.partial(body, _MpcComm()),
-                              self._key, self.arr, self.weights_sh,
-                              self.x0_sh, self.n0_fp, self.inv_train_fp)
+        # inputs reduced to bare shape/dtype so already-placed arrays don't
+        # leak shardings into the stacked-_MpcComm trace (see _out_tree in
+        # engine/gas.py; matters when building programs after placement)
+        abstract = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), a.dtype),
+            (self._key, self.arr, self.weights_sh, self.x0_sh,
+             self.n0_fp, self.inv_train_fp))
+        outs = jax.eval_shape(functools.partial(body, _MpcComm()), *abstract)
         out_specs = jax.tree.map(
             lambda x: sh_spec if (hasattr(x, "dtype")
                                   and x.dtype == jnp.uint32) else P("party"),
@@ -719,6 +725,50 @@ class MpcGasEngine:
                 h = self._aggregate(comm, k6, arr, n0_fp, h,
                                     dest_scale=not last_phase)
         return weights_sh, metrics
+
+    def _epochs_scan_body(self, n, comm, key, arr, weights_sh, x0_sh, n0_fp,
+                          inv_train_fp):
+        """``n`` secret-shared epochs as ONE compiled ``lax.scan`` — same
+        motivation as ``GasEngine.run_epochs_scan``: the 3L (opt) / 2L
+        (unopt) phase programs of an epoch otherwise dispatch from the host
+        (a 90-epoch accuracy run pays ~270 dispatches); under scan the whole
+        training loop is a single device program (the reference's
+        per-iteration loop, `ss_…h:239-248`, compiled away). The PRNG key
+        rides the carry so every epoch's share randomness stays fresh."""
+        def step(carry, _):
+            key, ws = carry
+            key, k = jax.random.split(key)
+            ws, metrics = self._epoch_body(comm, k, arr, ws, x0_sh, n0_fp,
+                                           inv_train_fp)
+            return (key, ws), metrics
+
+        (key, ws), metrics = jax.lax.scan(
+            step, (key, list(weights_sh)), None, length=n)
+        metrics = jax.tree.map(lambda m: jnp.moveaxis(m, 0, 1), metrics)
+        return ws, metrics
+
+    def run_epochs_scan(self, n: int):
+        """Run ``n`` epochs in one compiled program. Works in every mode
+        (stacked or sharded) and with either compile_mode — the scan program
+        is compiled separately from the per-epoch/phase programs (one
+        compile per distinct ``n``, bounded cache). Returns per-epoch
+        metrics shaped [P, n]."""
+        fn = self._epochs_scan_cache.get(n)
+        if fn is None:
+            body = functools.partial(self._epochs_scan_body, n)
+            if self.mode == "sharded":
+                fn = self._build_sharded(body)
+            else:
+                fn = jax.jit(functools.partial(body, _MpcComm()))
+            while len(self._epochs_scan_cache) >= 8:
+                self._epochs_scan_cache.pop(
+                    next(iter(self._epochs_scan_cache)))
+            self._epochs_scan_cache[n] = fn
+        self._key, k = jax.random.split(self._key)
+        self.weights_sh, metrics = fn(k, self.arr, self.weights_sh,
+                                      self.x0_sh, self.n0_fp,
+                                      self.inv_train_fp)
+        return metrics
 
     def _weight_mean(self, comm, key, w_sh):
         """Cross-party share-sum + public 1/P scale (gcn.h:747-802)."""

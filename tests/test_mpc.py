@@ -225,6 +225,46 @@ def test_phase_compile_mode_matches_epoch():
                                    a.reveal_weights()[l], atol=1e-6)
 
 
+@pytest.mark.parametrize("variant", ["opt", "unopt"])
+def test_scan_epochs_match_phased(variant):
+    """run_epochs_scan (whole training loop as one lax.scan program) ==
+    the phase-dispatched loop, exactly in value space (exact truncation)."""
+    src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
+    param = make_param(32, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    a = MpcGasEngine(build_device_plan(graphs), param, variant,
+                     compile_mode="phase")
+    b = MpcGasEngine(build_device_plan(graphs), param, variant,
+                     compile_mode="phase")
+    ma = a.metrics_host(a.run_epochs(3))
+    mb = b.metrics_host(b.run_epochs_scan(3))
+    np.testing.assert_allclose(np.asarray(mb["loss"])[:, -1], ma["loss"],
+                               atol=1e-6)
+    for l in range(2):
+        np.testing.assert_allclose(b.reveal_weights()[l],
+                                   a.reveal_weights()[l], atol=1e-6)
+
+
+def test_scan_epochs_sharded_matches_stacked():
+    """Sharded scan-compiled secret-shared training == stacked scan."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
+    param = make_param(32, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    stacked = MpcGasEngine(build_device_plan(graphs), param)
+    mesh = jax.make_mesh((2,), ("party",))
+    sharded = MpcGasEngine(build_device_plan(graphs), param,
+                           mode="sharded", mesh=mesh)
+    ms = stacked.metrics_host(stacked.run_epochs_scan(2))
+    mh = sharded.metrics_host(sharded.run_epochs_scan(2))
+    np.testing.assert_allclose(np.asarray(mh["loss"]),
+                               np.asarray(ms["loss"]), atol=1e-6)
+    for l in range(2):
+        np.testing.assert_allclose(sharded.reveal_weights()[l],
+                                   stacked.reveal_weights()[l], atol=1e-6)
+
+
 def test_phase_compile_mode_matches_epoch_unopt():
     """Same parity pin for the unopt (CoGNN / ss-gcn) 2L-phase schedule."""
     src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
