@@ -163,3 +163,16 @@ def test_cluster_mode_two_processes(dataset_dir, tmp_path):
         assert p.returncode == 0, outs[i][1]
         assert f"tid-> {i}," in outs[i][0]
         assert "cross-entropy-loss = " in outs[i][0]
+
+
+def test_graft_entry_dryrun():
+    """The driver contract: dryrun_multichip certifies sharded plaintext AND
+    secret-shared epochs against stacked engines (parity, not isfinite)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    sys.path.insert(0, str(REPO))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(4)
