@@ -1,0 +1,154 @@
+"""Communication accounting — measured (traced) and analytic.
+
+The reference measures real per-NIC bytes around each run with psutil
+(`tools/tmp_run_cluster.py:77-103`). The TPU-native equivalent of "what went
+over the wire" is the set of XLA collectives in the compiled program:
+:func:`traced_collective_bytes` walks the jaxpr of a sharded training
+program and accounts the bytes each party sends per collective —
+``all_to_all`` ships (P-1)/P of the local buffer, a ring all-reduce
+(``psum``) sends 2·(P-1)/P of the reduced buffer, ``ppermute`` ships the
+whole buffer, ``all_gather`` ships (P-1)/P of its output. ``lax.scan``
+bodies multiply by trip count, so a whole scan-compiled training loop can
+be accounted in one trace.
+
+:func:`analytic_bytes_per_epoch` is the closed-form twin (the
+reference-comparable model, cf. `tools/plot/plot_message_passing_comm.py`),
+corrected for the engines' actual collective shapes: the halo exchange
+ships padded mirror rows M (sparse backend) or dense update rows V
+(dense/bcsr backends), and secret-shared tensors are 2 shares x L limbs of
+uint32 (8L bytes/element; the share-space weight all-reduce rides 16-bit
+planes in int32, 16L bytes/element). ``tests/test_comm.py`` pins
+analytic == traced exactly for the sparse plaintext and mpc programs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import numpy as np
+
+# per-party send factor per collective, as a function of axis size P:
+# bytes_sent = factor(P) * buffer_bytes
+_FACTORS = {
+    "all_to_all": lambda P: (P - 1) / P,
+    "ppermute": lambda P: 1.0,
+    "psum": lambda P: 2.0 * (P - 1) / P,  # ring all-reduce
+    "psum_invariant": lambda P: 2.0 * (P - 1) / P,
+    "all_gather": lambda P: (P - 1) / P,
+    "reduce_scatter": lambda P: (P - 1) / P,
+    "all_gather_invariant": lambda P: (P - 1) / P,
+}
+
+
+def _buffer_bytes(eqn) -> int:
+    # all_gather's wire volume is its (larger) output; everything else is
+    # sized by the input operand(s)
+    vars_ = (eqn.outvars if eqn.primitive.name.startswith("all_gather")
+             else eqn.invars)
+    total = 0
+    for v in vars_:
+        aval = getattr(v, "aval", None)
+        if aval is not None and hasattr(aval, "shape"):
+            total += int(np.prod(aval.shape, dtype=np.int64)
+                         * np.dtype(aval.dtype).itemsize)
+    return total
+
+
+def traced_collective_bytes(fn, *args, axis_size: int) -> Dict[str, float]:
+    """Per-party bytes sent by one invocation of ``fn(*args)``.
+
+    ``fn`` may be jitted and contain shard_map/scan/cond — the walk descends
+    into every sub-jaxpr, multiplying scan bodies by their trip count.
+    Returns {collective: bytes, ..., "total": bytes}.
+    """
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    out: Dict[str, float] = {}
+
+    def walk(jx, mult):
+        for eqn in jx.eqns:
+            name = eqn.primitive.name
+            sub_mult = mult
+            if name == "scan":
+                sub_mult = mult * int(eqn.params.get("length", 1))
+            if name in _FACTORS:
+                b = _buffer_bytes(eqn) * _FACTORS[name](axis_size) * mult
+                out[name] = out.get(name, 0.0) + b
+            for v in eqn.params.values():
+                for item in (v if isinstance(v, (list, tuple)) else [v]):
+                    if hasattr(item, "eqns"):  # open Jaxpr
+                        walk(item, sub_mult)
+                    elif hasattr(getattr(item, "jaxpr", None), "eqns"):
+                        walk(item.jaxpr, sub_mult)  # ClosedJaxpr
+
+    walk(jaxpr.jaxpr, 1)
+    out["total"] = sum(out.values())
+    return out
+
+
+def engine_epoch_bytes(engine, kind: str = "epoch") -> Dict[str, float]:
+    """Traced per-party collective bytes of one training epoch (or forward
+    pass, ``kind="forward"``) of a SHARDED engine (plaintext GasEngine or
+    MpcGasEngine)."""
+    if engine.mode != "sharded":
+        raise ValueError("traced comm accounting needs a sharded engine")
+    P = engine.P
+    if hasattr(engine, "weights_sh"):  # MpcGasEngine
+        fn = engine._epoch if kind == "epoch" else engine._forward
+        return traced_collective_bytes(
+            lambda *a: fn(*a), engine._key, engine.arr,
+            engine.weights_sh, engine.x0_sh, engine.n0_fp,
+            engine.inv_train_fp, axis_size=P)
+    fn = engine._epoch if kind == "epoch" else engine._forward
+    return traced_collective_bytes(
+        lambda *a: fn(*a), engine.arr, engine.weights,
+        engine.x0, engine._agg_data, axis_size=P)
+
+
+def _opt_agg_dims(dims) -> list:
+    """Aggregation-phase widths of one CoGNN-Opt epoch (mirrors
+    GasEngine._epoch_opt's dataflow; 3L-2 GAS aggregations per epoch)."""
+    L = len(dims) - 1
+    out = [dims[l + 1] for l in range(L)]
+    hdim = dims[L]
+    g = None
+    for phase in range(L, 3 * L):
+        l = L - 1 - (phase - L) // 2
+        first = ((phase - L) % 2 == 0)
+        if phase % L != 0:
+            out.append(hdim)
+        if first:
+            g = dims[l]
+        else:
+            hdim = g
+    return out
+
+
+def _unopt_agg_dims(dims) -> list:
+    L = len(dims) - 1
+    return [dims[l] for l in range(L)] + [dims[l]
+                                          for l in reversed(range(1, L))]
+
+
+def analytic_bytes_per_epoch(plan, param, variant: str = "opt",
+                             mpc: bool = False,
+                             aggregation: str = "sparse",
+                             limbs: int = 2) -> Dict[str, float]:
+    """Closed-form per-party bytes per training epoch, matching the sharded
+    engines' collective shapes exactly (see module docstring)."""
+    P = plan.num_parties
+    if P <= 1:
+        return {"all_to_all": 0.0, "psum": 0.0, "total": 0.0}
+    dims = param.layer_dims
+    agg_dims = (_unopt_agg_dims(dims) if variant == "unopt"
+                else _opt_agg_dims(dims))
+    if variant == "opt_inference":
+        agg_dims = [dims[l + 1] for l in range(len(dims) - 1)]
+    halo_rows = plan.M if aggregation == "sparse" else plan.V
+    elem = 8 * limbs if mpc else 4
+    a2a = float(sum((P - 1) * halo_rows * d * elem for d in agg_dims))
+    w_elems = sum(dims[i] * dims[i + 1] for i in range(len(dims) - 1))
+    psum_elem = 16 * limbs if mpc else 4  # share planes vs f32
+    psum = (0.0 if variant == "opt_inference"
+            else 2.0 * (P - 1) / P * w_elems * psum_elem)
+    return {"all_to_all": a2a, "psum": psum, "total": a2a + psum}

@@ -5,9 +5,12 @@ Runs the paper's evaluation matrix on TPU (or CPU) and writes per-party logs
 in the reference's naming scheme ``log/<setting>/gcn_test_<dataset>_<p>.log``
 with the same grep-able lines (``::iteration took``, the accuracy block), so
 the plot suite (tools/plot/) works on either framework's output. Where the
-reference measures per-NIC bytes with psutil over its TCP mesh, we account
-the collective traffic analytically from the device plan (halo rows shipped
-per epoch) into ``comm/<setting>/<dataset>_<p>.comm``.
+reference measures per-NIC bytes with psutil over its TCP mesh, we MEASURE
+the sharded program's collective wire bytes by tracing its jaxpr
+(`cognn_tpu.engine.comm_model`, correct for share width and backend halo
+shape; pinned to hand-computed values by tests/test_comm.py) and write them
+— alongside the closed-form analytic model — into
+``comm/<setting>/<dataset>_<p>.comm``.
 
 Evaluations (reference `tmp_run_cluster.py:263-448`):
   --smallest-cognn-efficiency   2-party cora, 2 epochs (the ~1 min check)
@@ -29,6 +32,15 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# enough virtual CPU devices for the comm-tracing mesh — must run before
+# anything initializes a jax backend (tracing falls back to analytic if so)
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:  # noqa: BLE001
+    pass
 
 from cognn_tpu.engine import GasEngine, build_device_plan  # noqa: E402
 from cognn_tpu.graph import build_party_graph  # noqa: E402
@@ -54,21 +66,38 @@ def build_graphs(ds, n_parties, fedgnn=False):
     return graphs
 
 
-def estimate_comm_bytes_per_epoch(plan, param, variant="opt"):
-    """Analytic collective traffic per party per epoch: halo mirror rows
-    shipped both directions for each GAS aggregation phase, plus the weight
-    averaging (compare reference `tools/plot/plot_message_passing_comm.py`)."""
-    gas_phases = {"opt": [param.hidden_dim, param.num_labels,
-                          param.num_labels, param.hidden_dim],
-                  "unopt": [param.input_dim, param.hidden_dim,
-                            param.hidden_dim]}[
-        "opt" if variant.startswith("opt") else "unopt"]
-    mirrors = int(plan.recv_mask.sum()) / max(plan.num_parties, 1)
-    dtype_bytes = 4
-    per_party = sum(mirrors * d * dtype_bytes for d in gas_phases)
-    weights = (param.input_dim * param.hidden_dim
-               + param.hidden_dim * param.num_labels) * dtype_bytes * 2
-    return per_party + weights
+def traced_comm_bytes(plan, param, variant, mpc, n_parties, aggregation):
+    """Measured per-party collective bytes per epoch: trace the SHARDED
+    training program's jaxpr over a CPU device mesh (works even when the
+    default backend is a single TPU chip — tracing runs no device code) and
+    account each collective's wire bytes. Returns None when fewer than
+    ``n_parties`` CPU devices exist (bump JAX_NUM_CPU_DEVICES)."""
+    import jax
+
+    from cognn_tpu.engine.comm_model import engine_epoch_bytes
+
+    if n_parties < 2:
+        return None
+    try:
+        cpus = jax.devices("cpu")
+        if len(cpus) < n_parties:
+            return None
+        mesh = jax.sharding.Mesh(np.array(cpus[:n_parties]), ("party",))
+        if mpc:
+            from cognn_tpu.mpc import MpcGasEngine
+
+            eng = MpcGasEngine(plan, param, variant, mode="sharded",
+                               mesh=mesh)
+        else:
+            eng = GasEngine(plan, param, variant, mode="sharded", mesh=mesh,
+                            aggregation=aggregation
+                            if aggregation in ("sparse", "dense") else
+                            "sparse")
+        kind = "forward" if variant == "opt_inference" else "epoch"
+        return engine_epoch_bytes(eng, kind)
+    except Exception as e:  # noqa: BLE001
+        print(f"(comm tracing unavailable: {e})", file=sys.stderr)
+        return None
 
 
 def run_training(ds, n_parties, epochs, variant, mpc, setting,
@@ -121,12 +150,21 @@ def run_training(ds, n_parties, epochs, variant, mpc, setting,
 
     commdir = comm_root / setting
     commdir.mkdir(parents=True, exist_ok=True)
-    per_epoch = estimate_comm_bytes_per_epoch(plan, ds.param, variant)
-    total_mb = per_epoch * max(epochs, 1) / 1e6
+    from cognn_tpu.engine.comm_model import analytic_bytes_per_epoch
+
+    analytic = analytic_bytes_per_epoch(plan, ds.param, variant, mpc=mpc)
+    traced = traced_comm_bytes(plan, ds.param, variant, mpc, n_parties,
+                               "sparse")
+    per_epoch = (traced or analytic)["total"]
+    n_ep = 1 if variant == "opt_inference" else max(epochs, 1)
+    total_mb = per_epoch * n_ep / 1e6
+    payload = {"sent_MB": total_mb, "recv_MB": total_mb,
+               "measured": traced is not None,
+               "per_epoch_bytes": traced or analytic,
+               "analytic_per_epoch_bytes": analytic}
     for p in range(n_parties):
         (commdir / f"{ds.name.lower()}_{p}.comm").write_text(
-            json.dumps({"sent_MB": total_mb, "recv_MB": total_mb,
-                        "analytic": True}) + "\n")
+            json.dumps(payload) + "\n")
     return engine
 
 
