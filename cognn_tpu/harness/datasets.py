@@ -95,7 +95,15 @@ def synthetic_planetoid(name: str, seed: int = 0,
 
 
 def load_planetoid_raw(root: str | Path, name: str) -> Dataset:
-    """Load pre-downloaded PyG Planetoid raw pickles (ind.<name>.* files)."""
+    """Load pre-downloaded PyG Planetoid raw pickles (``ind.<name>.*``).
+
+    Standard Planetoid loading semantics (reference pipeline:
+    `tools/data_transform.py` via torch_geometric): features =
+    vstack(allx, tx) with the shuffled test rows put back in ``test.index``
+    order; gap-filled zero rows for test ids missing from ``tx`` (the
+    CiteSeer quirk); edges from the symmetric adjacency dict, deduplicated,
+    self-loops dropped. Round-trip-tested against locally generated
+    fixtures in tests/test_harness.py (no network egress needed)."""
     import pickle
 
     root = Path(root)
@@ -114,18 +122,35 @@ def load_planetoid_raw(root: str | Path, name: str) -> Dataset:
 
     import scipy.sparse as sp  # type: ignore
 
+    lo, hi = int(test_sorted[0]), int(test_sorted[-1])
+    if len(test_idx) != hi - lo + 1:
+        # test ids with gaps (CiteSeer): extend tx/ty with zero rows so the
+        # positional vstack below covers the full range
+        full = hi - lo + 1
+        tx_ext = sp.lil_matrix((full, x.shape[1]), dtype=np.float64)
+        tx_ext[test_sorted - lo] = tx
+        tx = tx_ext
+        ty_ext = np.zeros((full, y.shape[1]), ty.dtype)
+        ty_ext[test_sorted - lo] = ty
+        ty = ty_ext
+
     feats = sp.vstack([allx, tx]).tolil()
-    feats[test_idx] = feats[test_sorted]
+    feats[test_idx] = feats[np.sort(test_idx)]
     labels_oh = np.vstack([ally, ty])
-    labels_oh[test_idx] = labels_oh[test_sorted]
+    labels_oh[test_idx] = labels_oh[np.sort(test_idx)]
     labels = labels_oh.argmax(1)
-    src, dst = [], []
-    for u, nbrs in graph.items():
-        for v in nbrs:
-            src.append(u)
-            dst.append(v)
-    return Dataset(name, np.array(src), np.array(dst),
-                   np.asarray(feats.todense()), labels, gnn_param_for(name))
+    n = feats.shape[0]
+    pairs = {(int(u), int(v)) for u, nbrs in graph.items() for v in nbrs
+             if u != v and u < n and v < n}
+    pairs |= {(v, u) for (u, v) in pairs}  # dict is normally symmetric
+    src, dst = map(np.array, zip(*sorted(pairs)))
+    param = gnn_param_for(name)
+    param.num_samples = n
+    param.num_edges = len(src)
+    param.input_dim = x.shape[1]
+    param.num_labels = y.shape[1]
+    return Dataset(name, src.astype(np.int64), dst.astype(np.int64),
+                   np.asarray(feats.todense(), np.float64), labels, param)
 
 
 def transform(ds: Dataset, out_dir: str | Path, partitions=(2, 3, 4, 5),

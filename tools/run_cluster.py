@@ -195,9 +195,20 @@ def main():
                     choices=["cora", "citeseer", "pubmed", "cora_small"])
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--parties", type=int, nargs="+", default=None)
+    ap.add_argument("--planetoid-root", default=None, metavar="DIR",
+                    help="directory with real Planetoid raw files "
+                         "(ind.<dataset>.*); falls back to the synthetic "
+                         "statistics-matched generator when absent")
     args = ap.parse_args()
 
-    ds = synthetic_planetoid(args.dataset)
+    if args.planetoid_root:
+        from cognn_tpu.harness.datasets import load_planetoid_raw
+
+        ds = load_planetoid_raw(args.planetoid_root, args.dataset)
+        print(f"loaded real {args.dataset}: n={len(ds.features)} "
+              f"m={len(ds.src)} f={ds.param.input_dim}")
+    else:
+        ds = synthetic_planetoid(args.dataset)
 
     if args.smallest_cognn_efficiency:
         t0 = time.perf_counter()
