@@ -61,6 +61,16 @@ def _device_healthy(timeout_s: float = 240.0) -> bool:
 def main():
     import jax
 
+    # persistent compile cache: driver re-runs skip the tunnel compile
+    try:
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".xla_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:  # noqa: BLE001
+        log(f"(compile cache unavailable: {e})")
+
     if not _device_healthy():
         log("ERROR: accelerator unreachable (device probe timed out); "
             "emitting value 0 so the round records the outage")

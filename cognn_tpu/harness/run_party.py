@@ -66,12 +66,35 @@ def print_metrics_reference_format(metrics_host: dict, party: int = 0,
           f"vertices is {int(m['num_border'][party])}", flush=True)
 
 
+def enable_compile_cache(setting: str) -> Path:
+    """Persistent XLA compilation cache under ``preprocess/<setting>/`` —
+    the TPU-native meaning of the reference's preprocess-material reuse
+    (OEP/OT correlations persisted per ``-s`` setting and reused via
+    ``-n``, `ss_…h:184-190`, README.md:209-222): the first run populates
+    the cache (the reference's 'preprocessing'), repeat runs skip the
+    25 s–minutes tunnel compile."""
+    import jax
+
+    cache_dir = Path("preprocess") / setting / "xla-cache"
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return cache_dir
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = to_run_config(args)
     param = GNNParam.read_config(cfg.gnn_config_file)
 
     import jax
+
+    cache_dir = enable_compile_cache(cfg.setting)
+    if cfg.no_preprocess:
+        hits = sum(1 for _ in cache_dir.iterdir())
+        print(f"noPreprocess: reusing compilation cache "
+              f"({hits} entries under {cache_dir})", flush=True)
 
     if cfg.is_cluster:
         # one process per party (the reference's process model,

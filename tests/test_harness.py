@@ -85,6 +85,24 @@ def test_checkpoint_resume(dataset_dir, tmp_path):
     assert resumed_loss < first_loss
 
 
+def test_compile_cache_reuse(dataset_dir, tmp_path):
+    """-n reuses the persistent XLA compilation cache keyed by -s (the
+    TPU-native preprocess-material reuse, reference README.md:209-222)."""
+    args = ["-m", "cognn_tpu.harness.run_party", "-g", "2", "-m", "6",
+            "-s", "cache_test",
+            str(dataset_dir / "cora_small.edge.preprocessed"),
+            str(dataset_dir / "cora_small.vertex.preprocessed"),
+            str(dataset_dir / "cora_small.part.preprocessed.2p"), "-",
+            str(dataset_dir / "cora_small_config.txt")]
+    r = run(args, cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    cache = tmp_path / "preprocess/cache_test/xla-cache"
+    assert cache.is_dir() and any(cache.iterdir())  # populated
+    r2 = run(args + ["-n"], cwd=tmp_path)
+    assert r2.returncode == 0, r2.stderr
+    assert "reusing compilation cache" in r2.stdout
+
+
 def test_cluster_driver_and_plots(tmp_path):
     r = run([str(REPO / "tools/run_cluster.py"),
              "--smallest-cognn-efficiency", "--dataset", "cora_small"],
