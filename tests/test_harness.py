@@ -130,6 +130,18 @@ def test_cluster_driver_and_plots(tmp_path):
     assert "duration breakdown" in r.stdout
 
 
+def test_graphsc_model_row(tmp_path):
+    """--graphsc emits the paper's Table-6 analytic comm row per scaler."""
+    r = run([str(REPO / "tools/run_cluster.py"), "--graphsc",
+             "--dataset", "cora_small", "--parties", "2"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    comm = json.loads(
+        (tmp_path / "comm/graphsc_2s/cora_small_0.comm").read_text())
+    assert comm["model"] == "graphsc-analytic"
+    assert comm["sent_MB"] == 8 * comm["sum_dims"] * 10 * (
+        comm["n"] + comm["m"]) / 1e6
+
+
 def test_multiparty_plots(tmp_path):
     """fedgnn sweep + the multi-party/scale plot scripts end to end."""
     r = run([str(REPO / "tools/run_cluster.py"), "--cognn-opt-accuracy",

@@ -188,6 +188,15 @@ def main():
     ap.add_argument("--cognn-opt-efficiency", action="store_true")
     ap.add_argument("--cognn-opt-inference", action="store_true")
     ap.add_argument("--fedgnn", action="store_true")
+    ap.add_argument("--graphsc", action="store_true",
+                    help="emit the GraphSC baseline row of the evaluation "
+                         "matrix (reference `tmp_run_cluster.py:153-199`). "
+                         "GraphSC itself is a third-party system living "
+                         "only in the paper's Docker image; this row is "
+                         "its ANALYTIC per-epoch comm model (paper Table "
+                         "6, 8*sum_dims*10*(n+m)) over the same scaler "
+                         "subsets, marked model-derived — durations are "
+                         "not fabricated")
     ap.add_argument("--plaintext", action="store_true")
     ap.add_argument("--mpc", action="store_true",
                     help="secret-shared execution for the cognn evals")
@@ -252,6 +261,30 @@ def main():
             run_training(ds, p, args.epochs or 90, "opt", False,
                          f"fedgnn_{p}p", fedgnn=True)
             print(f"fedgnn {p} parties done")
+    if args.graphsc:
+        # the reference's GraphSC eval sweeps scaler subsets ks with k
+        # parties, 1 epoch = 4 iterations (`tmp_run_cluster.py:153-199`);
+        # emit its analytic comm row per subset for the comparison plots
+        p = ds.param
+        sum_dims = p.input_dim + 2 * p.hidden_dim  # unopt-space dims
+        n_all = len(ds.features)
+        for k in (args.parties or [2, 3, 4, 5]):
+            keep_n = sum(len(b)
+                         for b in np.array_split(np.arange(n_all), 5)[:k])
+            mask = (ds.src < keep_n) & (ds.dst < keep_n)
+            m_k = int(mask.sum())
+            per_epoch = 8 * sum_dims * 10 * (keep_n + m_k)
+            commdir = Path("comm") / f"graphsc_{k}s"
+            commdir.mkdir(parents=True, exist_ok=True)
+            payload = {"sent_MB": per_epoch / 1e6,
+                       "recv_MB": per_epoch / 1e6,
+                       "measured": False, "model": "graphsc-analytic",
+                       "n": keep_n, "m": m_k, "sum_dims": sum_dims}
+            for q in range(k):
+                (commdir / f"{ds.name.lower()}_{q}.comm").write_text(
+                    json.dumps(payload) + "\n")
+            print(f"graphsc model {k}s: n={keep_n} m={m_k} "
+                  f"{per_epoch/1e9:.3f} GB/epoch (analytic)")
     if args.plaintext:
         run_training(ds, 1, args.epochs or 90, "opt", False, "plaintext")
         print("plaintext done")
