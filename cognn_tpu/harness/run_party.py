@@ -130,12 +130,9 @@ def main(argv=None) -> int:
 
         fp = FixedPointSpec(RING64 if cfg.ring_bits == 64 else RING32,
                             cfg.scaler_bits)
-        # mpc supports sparse (default) and dense (stacked) aggregation
-        mpc_agg = aggregation if aggregation == "dense" else "sparse"
-        if aggregation not in ("auto", "sparse", "dense"):
-            print(f"WARNING: --aggregation {aggregation} is not available "
-                  "under --mpc; running the sparse share backend instead",
-                  flush=True)
+        # mpc supports sparse (default), dense, and bcsr (stacked) backends
+        mpc_agg = (aggregation if aggregation in ("dense", "bcsr")
+                   else "sparse")
         engine = MpcGasEngine(plan, param, cfg.variant, fp=fp,
                               mode=args.mode, mesh=mesh,
                               aggregation=mpc_agg)

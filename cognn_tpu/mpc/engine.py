@@ -122,6 +122,38 @@ def _dense_agg_shares(adj_bf16: jnp.ndarray, sh_flat: jnp.ndarray
     return jnp.stack(acc)  # [S, L, Vdst, D]
 
 
+def _bcsr_agg_shares(spmm, width: int, sh_flat: jnp.ndarray) -> jnp.ndarray:
+    """Exact mod-2^(32L) share aggregation upd = A^T @ sh on the Pallas
+    block-sparse SpMM — the dense byte-plane trick (`_dense_agg_shares`)
+    at block-sparse scale (PubMed-class graphs where the flat (P·V)^2
+    adjacency cannot be held). All S*L*4 byte planes ride one kernel call
+    as stacked f32 rows (the kernel casts to bf16 internally — exact for
+    planes <= 255 — and accumulates in f32, exact under the 2^24 total
+    in-edge guard checked at init), then recombine with carries."""
+    S, L, V, D = sh_flat.shape
+    planes = []
+    for s in range(S):
+        for l in range(L):
+            word = sh_flat[s, l]
+            for b in range(4):
+                planes.append(((word >> _U32(8 * b)) & _U32(0xFF))
+                              .astype(jnp.float32))
+    ht = jnp.concatenate(planes, axis=-1).T  # [S*L*4*D, V] plane-major rows
+    if width != V:
+        ht = jnp.pad(ht, ((0, 0), (0, width - V)))
+    out = spmm(ht)[:, :V]  # [S*L*4*D, Vdst] f32 exact
+    out_t = out.T.reshape(V, S * L * 4, D).astype(_U32)
+    acc = [None] * S
+    for s in range(S):
+        for l in range(L):
+            for b in range(4):
+                term = _shift64_u32(out_t[:, (s * L + l) * 4 + b],
+                                    32 * l + 8 * b, L)
+                acc[s] = term if acc[s] is None else ring_add(
+                    _spec_for(L), acc[s], term)
+    return jnp.stack(acc)  # [S, L, Vdst, D]
+
+
 def _ring_psum_shares(sh: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """Exact mod-2^64 sum of share tensors across a mesh axis, carry-free:
     16-bit planes -> int32 psum -> recombine (valid for < 2^15 parties)."""
@@ -219,8 +251,38 @@ class MpcGasEngine:
                     "f32 mantissa in the dense byte-plane share aggregation "
                     "(use aggregation='sparse')")
             self._dense_adj = jnp.asarray(flat, jnp.bfloat16)
+            self._bcsr = None
+        elif aggregation == "bcsr":
+            if mode != "stacked":
+                raise ValueError("bcsr mpc aggregation is stacked-only")
+            from cognn_tpu.engine.gas import _party_edges
+            from cognn_tpu.ops.bcsr import BLOCK, build_bcsr
+            from cognn_tpu.ops.pallas_spmm import PallasSpmm
+
+            Pn, Vn = plan.num_parties, plan.V
+            srcs, dsts = [], []
+            for p in range(Pn):
+                s, d = _party_edges(plan, p)
+                srcs.append(p * Vn + s)
+                dsts.append(d)
+            dsts_all = np.concatenate(dsts)
+            m = build_bcsr(np.concatenate(srcs), dsts_all,
+                           Pn * Vn, Pn * Vn)
+            if m.vals.max() > 256:
+                raise ValueError("edge multiplicity > 256 breaks bf16 "
+                                 "exactness of the bcsr share aggregation")
+            max_in = int(np.bincount(dsts_all).max()) if len(dsts_all) else 0
+            if max_in * 255 >= (1 << 24):
+                raise ValueError(
+                    f"a destination accumulates {max_in} in-edges; "
+                    "255 * count >= 2^24 overflows the f32 mantissa in the "
+                    "bcsr byte-plane share aggregation (use 'sparse')")
+            self._bcsr = PallasSpmm(m)
+            self._bcsr_width = m.n_src_blocks * BLOCK
+            self._dense_adj = None
         elif aggregation == "sparse":
             self._dense_adj = None
+            self._bcsr = None
         else:
             raise ValueError(aggregation)
         self.aggregation = aggregation
@@ -516,13 +578,17 @@ class MpcGasEngine:
         V, M, P = plan.V, plan.M, plan.num_parties
         D = sh.shape[-1]
 
-        if self._dense_adj is not None:
-            # dense-MXU path: the whole pipeline is one exact byte-plane
-            # matmul over the flattened (party, vertex) axis
+        if self._dense_adj is not None or self._bcsr is not None:
+            # MXU paths: the whole pipeline is one exact byte-plane matmul
+            # (dense flat adjacency) or one block-sparse Pallas SpMM over
+            # the flattened (party, vertex) axis
             S, L = sh.shape[:2]
             flat = sh.reshape(S, L, P * V, D)
-            upd = _dense_agg_shares(self._dense_adj, flat).reshape(sh.shape)
-            agg = self.proto.add(sh, upd)
+            if self._dense_adj is not None:
+                upd = _dense_agg_shares(self._dense_adj, flat)
+            else:
+                upd = _bcsr_agg_shares(self._bcsr, self._bcsr_width, flat)
+            agg = self.proto.add(sh, upd.reshape(sh.shape))
             if dest_scale:
                 key, k = jax.random.split(key)
                 agg = self._scale_rows(k, agg, n0_fp)

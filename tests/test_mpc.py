@@ -137,6 +137,25 @@ def test_dense_mpc_aggregation_matches_sparse():
                                       sparse.reveal_weights()[l])
 
 
+@pytest.mark.parametrize("n_parties", [1, 3])
+def test_bcsr_mpc_aggregation_matches_sparse(n_parties):
+    """The block-sparse byte-plane MXU share aggregation (the mpc
+    PubMed-scale path) is an exact ring sum of the same values as the
+    sparse OGA -> bit-identical training."""
+    src, dst, feats, labels = make_dataset(n=40, m=200, homophily=0.7)
+    param = make_param(40, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, n_parties)
+    sparse = MpcGasEngine(build_device_plan(graphs), param)
+    bcsr = MpcGasEngine(build_device_plan(graphs), param,
+                        aggregation="bcsr")
+    ms = sparse.metrics_host(sparse.run_epochs(2))
+    mb = bcsr.metrics_host(bcsr.run_epochs(2))
+    np.testing.assert_array_equal(mb["loss"], ms["loss"])
+    for l in range(2):
+        np.testing.assert_array_equal(bcsr.reveal_weights()[l],
+                                      sparse.reveal_weights()[l])
+
+
 def test_dense_mpc_total_indeg_guard():
     """A destination whose TOTAL in-edge count (all source parties
     combined) reaches 2^24/255 must be rejected at dense init: the

@@ -1,8 +1,11 @@
 """Experiment: per-epoch time of the scan-compiled training loop by backend.
 
-Usage: python tools/bench_epoch_scan.py [--agg sparse,dense] [--scan 64]
+Usage: python tools/bench_epoch_scan.py [--agg sparse,dense,bcsr]
+    [--scan 64] [--dataset pubmed] [--parties 4] [--mpc] [--reorder]
 Chains scan dispatches until the wall window is honest (>= 0.5 s), same
-methodology as bench.py.
+methodology as bench.py. --mpc uses the scan-compiled secret-shared loop
+(--mpc-phase for the per-epoch phase-dispatched loop instead). The
+persistent compile cache makes re-runs skip the tunnel compile.
 """
 
 import argparse
@@ -26,12 +29,25 @@ def main():
     ap.add_argument("--dataset", default="cora")
     ap.add_argument("--parties", type=int, default=2)
     ap.add_argument("--mpc", action="store_true",
-                    help="secret-shared engine (per-epoch dispatches, "
-                         "phase-jit)")
+                    help="secret-shared engine, scan-compiled loop")
+    ap.add_argument("--mpc-phase", action="store_true",
+                    help="secret-shared engine, per-epoch phase dispatches")
+    ap.add_argument("--reorder", action="store_true",
+                    help="BFS-reorder vertices (bcsr block locality)")
+    ap.add_argument("--epochs-budget", type=float, default=0.5,
+                    help="minimum honest wall window in seconds")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    try:
+        cache = Path(__file__).resolve().parent.parent / ".xla_cache"
+        cache.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:  # noqa: BLE001
+        log(f"(compile cache unavailable: {e})")
 
     from cognn_tpu.engine import GasEngine, build_device_plan
     from cognn_tpu.graph import build_party_graph
@@ -51,17 +67,32 @@ def main():
     def hard_sync(x):
         return float(np.asarray(jnp.sum(x)))
 
-    log(f"backend={jax.default_backend()} edges={len(ds.src)} "
-        f"mpc={args.mpc}")
+    mpc = args.mpc or args.mpc_phase
+    log(f"backend={jax.default_backend()} dataset={args.dataset} "
+        f"P={args.parties} edges={len(ds.src)} mpc={mpc} "
+        f"reorder={args.reorder}")
     for agg in args.agg.split(","):
-        plan = build_device_plan(graphs, lane=128, dense=(agg == "dense"))
-        if args.mpc:
+        try:
+            plan = build_device_plan(graphs, lane=128,
+                                     dense=(agg == "dense"),
+                                     reorder=args.reorder)
+        except ValueError as e:
+            log(f"[{agg}] skipped: {e}")
+            continue
+        if mpc:
             from cognn_tpu.mpc import MpcGasEngine
 
+            if agg not in ("sparse", "dense", "bcsr"):
+                log(f"[{agg}] skipped: mpc supports sparse/dense/bcsr")
+                continue
             eng = MpcGasEngine(plan, ds.param, "opt", aggregation=agg)
             sync_arr = lambda: eng.weights_sh[0]  # noqa: E731
-            run = lambda: eng.run_epoch()  # noqa: E731
-            per_call = 1
+            if args.mpc_phase:
+                run = lambda: eng.run_epoch()  # noqa: E731
+                per_call = 1
+            else:
+                run = lambda: eng.run_epochs_scan(args.scan)  # noqa: E731
+                per_call = args.scan
         else:
             eng = GasEngine(plan, ds.param, "opt", aggregation=agg)
             sync_arr = lambda: eng.weights[0]  # noqa: E731
@@ -78,9 +109,11 @@ def main():
                 m = run()
             hard_sync(sync_arr())
             dt = time.perf_counter() - t0
-            if dt >= 0.5 or reps >= 512:
+            if dt >= args.epochs_budget or reps >= 512:
                 break
-            reps = min(512, max(reps * 2, int(reps * 0.6 / max(dt, 1e-6))))
+            reps = min(512, max(reps * 2,
+                                int(reps * 1.2 * args.epochs_budget
+                                    / max(dt, 1e-6))))
         per_epoch = dt / (reps * per_call)
         eps = eng.epoch_layers * len(ds.src) / per_epoch
         loss = np.asarray(m["loss"])

@@ -71,17 +71,22 @@ def main():
     def timeit(fn):
         """min-of-reps wall time for one logical application of fn."""
         if args.chain:
-            # eagerly dispatch n data-dependent applications: the device
-            # must run them back to back, so per-call time = total / n
-            # (defeats sub-ms readiness misreporting through the tunnel)
+            # n data-dependent applications in ONE program (fori_loop, so
+            # the chain compiles once instead of unrolling n Pallas calls):
+            # the device must run them back to back, so per-call time =
+            # total / n (defeats sub-ms readiness misreporting through the
+            # tunnel)
             n = args.chain
 
-            def chained():
-                h = x
-                for _ in range(n):
+            @jax.jit
+            def chained_fn(h0):
+                def body(_, h):
                     o = fn(h)
-                    h = h + o[:, :1] * 1e-30
-                return h
+                    return h + o[:, : h.shape[1]] * 1e-30
+                return jax.lax.fori_loop(0, n, body, h0)
+
+            def chained():
+                return chained_fn(x)
 
             jax.block_until_ready(chained())
             # grand window ended by a VALUE FETCH: through the axon tunnel
