@@ -69,7 +69,7 @@ class _ShardedComm:
         "vertex_mask", "in_deg", "border", "labels", "num_local", "train_n",
         "val_n", "train_mask", "val_mask", "loc_src", "loc_seg", "loc_valid",
         "rem_src", "rem_seg", "rem_valid", "recv_target", "recv_mask",
-        "gather_ok_self", "gather_ok_from",
+        "gather_ok_self", "gather_ok_from", "agg",
     ],
     meta_fields=[],
 )
@@ -96,6 +96,10 @@ class _PlanArrays:
     recv_mask: jnp.ndarray
     gather_ok_self: jnp.ndarray  # [P, V]
     gather_ok_from: jnp.ndarray  # [P, P, V], diagonal False
+    # aggregation-backend operand tensors that must ride compiled programs
+    # as ARGUMENTS (closure-captured constants of this size break the
+    # serialized-module transport at PubMed scale)
+    agg: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
 
 
 def _plan_arrays(plan: DevicePlan, dtype) -> _PlanArrays:
@@ -183,11 +187,16 @@ def select_backend(plan: DevicePlan, mode: str) -> str:
     return "bcsr"
 
 
-def _build_bcsr_spmm(plan: DevicePlan):
+def _build_bcsr_stacked(plan: DevicePlan):
     """Flatten all parties' real edge slots into one global (P*V)^2 BCSR
-    matrix and bind the Pallas SpMM kernel (stacked mode: the halo exchange
-    is part of the block structure)."""
-    from cognn_tpu.ops.bcsr import BLOCK, build_bcsr
+    matrix (stacked mode: the halo exchange is part of the block
+    structure). Returns (agg_data dict, (n_src_blocks, n_dst_blocks)).
+
+    The block tensors travel as *arguments* of the compiled programs, not
+    as closure constants: at PubMed scale the A stream is hundreds of MB
+    and constant-embedding it in the serialized HLO breaks compilation
+    (the remote-compile transport rejects the module)."""
+    from cognn_tpu.ops.bcsr import build_bcsr
     from cognn_tpu.ops.pallas_spmm import PallasSpmm
 
     P, V = plan.num_parties, plan.V
@@ -198,22 +207,14 @@ def _build_bcsr_spmm(plan: DevicePlan):
         dsts.append(d)
     n = P * V
     m = build_bcsr(np.concatenate(srcs), np.concatenate(dsts), n, n)
-    spmm = PallasSpmm(m)
-    width = m.n_src_blocks * BLOCK
-
-    def apply(h: jnp.ndarray) -> jnp.ndarray:
-        Pp, Vv, D = h.shape
-        Dp = -(-D // 8) * 8  # f32 sublane multiple
-        hf = h.reshape(n, D)
-        if Dp != D:
-            hf = jnp.pad(hf, ((0, 0), (0, Dp - D)))
-        ht = hf.T
-        if width != n:
-            ht = jnp.pad(ht, ((0, 0), (0, width - n)))
-        out = spmm(ht)
-        return out[:D, :n].T.reshape(Pp, Vv, D)
-
-    return apply
+    k = PallasSpmm(m, interpret=True)  # reuse its dst-coverage padding
+    data = {
+        "bcsr1_first": jnp.asarray(np.asarray(k.first)),
+        "bcsr1_bi": jnp.asarray(np.asarray(k.bi)),
+        "bcsr1_bj": jnp.asarray(np.asarray(k.bj)),
+        "bcsr1_vals": jnp.asarray(np.asarray(k.vals)),
+    }
+    return data, (m.n_src_blocks, m.n_dst_blocks)
 
 
 def _build_bcsr_sharded(plan: DevicePlan):
@@ -284,7 +285,6 @@ class GasEngine:
         self._agg_data: Dict[str, jnp.ndarray] = {}
         if aggregation == "auto":
             aggregation = select_backend(plan, mode)
-        self._dense_adj = None
         if aggregation == "dense":
             if mode == "sharded":
                 if plan.dense_adj is None:
@@ -296,16 +296,16 @@ class GasEngine:
             else:
                 # [(P V)src, (P V)dst] flat matrix for one MXU matmul;
                 # derived from the index plan when no dense=True plan
-                self._dense_adj = jnp.asarray(flat_dense_adjacency(plan),
-                                              dtype)
-        self._bcsr_spmm = None
+                self._agg_data["flat_adj"] = jnp.asarray(
+                    flat_dense_adjacency(plan), dtype)
         self._bcsr_blocks = None
         if aggregation == "bcsr":
             if mode == "sharded":
                 self._agg_data, nsb, ndb = _build_bcsr_sharded(plan)
                 self._bcsr_blocks = (nsb, ndb)
             else:
-                self._bcsr_spmm = _build_bcsr_spmm(plan)
+                data, self._bcsr_blocks = _build_bcsr_stacked(plan)
+                self._agg_data.update(data)
         self.aggregation = aggregation
         self.x0 = jnp.asarray(plan.features, dtype)
         dims = param.layer_dims
@@ -381,10 +381,26 @@ class GasEngine:
         D = h.shape[-1]
         agg_data = agg_data or {}
 
-        if self._bcsr_spmm is not None:
-            # Pallas block-sparse SpMM path: gather/OGA/halo/gather in one
-            # MXU kernel; dummy/mask semantics baked into the block values.
-            agg = h + self._bcsr_spmm(h)
+        if "bcsr1_vals" in agg_data:
+            # stacked Pallas block-sparse SpMM path: gather/OGA/halo/gather
+            # in one MXU kernel; dummy/mask semantics baked into the blocks
+            from cognn_tpu.ops.bcsr import BLOCK
+            from cognn_tpu.ops.pallas_spmm import _spmm_call
+
+            nsb, ndb = self._bcsr_blocks
+            n = P * V
+            Dp = -(-D // 8) * 8  # f32 sublane multiple
+            hf = h.reshape(n, D)
+            if Dp != D:
+                hf = jnp.pad(hf, ((0, 0), (0, Dp - D)))
+            ht = hf.T
+            if nsb * BLOCK != n:
+                ht = jnp.pad(ht, ((0, 0), (0, nsb * BLOCK - n)))
+            out = _spmm_call(agg_data["bcsr1_first"], agg_data["bcsr1_bi"],
+                             agg_data["bcsr1_bj"], ht,
+                             agg_data["bcsr1_vals"], ndb,
+                             jax.default_backend() != "tpu")
+            agg = h + out[:D, :n].T.reshape(h.shape)
             agg = agg * norm0(arr.in_deg)[..., None] if dest_scale else agg
             return agg
 
@@ -425,14 +441,14 @@ class GasEngine:
             agg = agg * norm0(arr.in_deg)[..., None] if dest_scale else agg
             return agg
 
-        if self.aggregation == "dense" and self._dense_adj is not None:
+        if "flat_adj" in agg_data:
             # Dense adjacency path: the whole scatter/premerge/halo/gather
             # pipeline is ONE flat MXU matmul U = A^T H over the globally
             # flattened (party, vertex) axis. Dummy/mask semantics are baked
             # into A (only real slots set).
             hf = h.reshape(-1, D)  # [P*V, D]
             upd = jax.lax.dot_general(
-                self._dense_adj, hf, (((0,), (0,)), ((), ())),
+                agg_data["flat_adj"], hf, (((0,), (0,)), ((), ())),
                 preferred_element_type=h.dtype)  # A^T @ H
             agg = h + upd.reshape(h.shape)
             agg = agg * norm0(arr.in_deg)[..., None] if dest_scale else agg

@@ -22,6 +22,7 @@ State layout: uint32[2(share), L(limb), P(party), ...].
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import List
 
@@ -122,7 +123,8 @@ def _dense_agg_shares(adj_bf16: jnp.ndarray, sh_flat: jnp.ndarray
     return jnp.stack(acc)  # [S, L, Vdst, D]
 
 
-def _bcsr_agg_shares(spmm, width: int, sh_flat: jnp.ndarray) -> jnp.ndarray:
+def _bcsr_agg_shares(agg, ndb: int, width: int,
+                     sh_flat: jnp.ndarray) -> jnp.ndarray:
     """Exact mod-2^(32L) share aggregation upd = A^T @ sh on the Pallas
     block-sparse SpMM — the dense byte-plane trick (`_dense_agg_shares`)
     at block-sparse scale (PubMed-class graphs where the flat (P·V)^2
@@ -141,7 +143,11 @@ def _bcsr_agg_shares(spmm, width: int, sh_flat: jnp.ndarray) -> jnp.ndarray:
     ht = jnp.concatenate(planes, axis=-1).T  # [S*L*4*D, V] plane-major rows
     if width != V:
         ht = jnp.pad(ht, ((0, 0), (0, width - V)))
-    out = spmm(ht)[:, :V]  # [S*L*4*D, Vdst] f32 exact
+    from cognn_tpu.ops.pallas_spmm import _spmm_call
+
+    out = _spmm_call(agg["bcsr_first"], agg["bcsr_bi"], agg["bcsr_bj"], ht,
+                     agg["bcsr_vals"], ndb,
+                     jax.default_backend() != "tpu")[:, :V]  # f32 exact
     out_t = out.T.reshape(V, S * L * 4, D).astype(_U32)
     acc = [None] * S
     for s in range(S):
@@ -250,8 +256,8 @@ class MpcGasEngine:
                     "across all parties; 255 * count >= 2^24 overflows the "
                     "f32 mantissa in the dense byte-plane share aggregation "
                     "(use aggregation='sparse')")
-            self._dense_adj = jnp.asarray(flat, jnp.bfloat16)
-            self._bcsr = None
+            agg_operands = {"flat_adj_bf16": jnp.asarray(flat, jnp.bfloat16)}
+            self._bcsr_meta = None
         elif aggregation == "bcsr":
             if mode != "stacked":
                 raise ValueError("bcsr mpc aggregation is stacked-only")
@@ -277,12 +283,17 @@ class MpcGasEngine:
                     f"a destination accumulates {max_in} in-edges; "
                     "255 * count >= 2^24 overflows the f32 mantissa in the "
                     "bcsr byte-plane share aggregation (use 'sparse')")
-            self._bcsr = PallasSpmm(m)
-            self._bcsr_width = m.n_src_blocks * BLOCK
-            self._dense_adj = None
+            k = PallasSpmm(m, interpret=True)  # reuse dst-coverage padding
+            agg_operands = {
+                "bcsr_first": jnp.asarray(np.asarray(k.first)),
+                "bcsr_bi": jnp.asarray(np.asarray(k.bi)),
+                "bcsr_bj": jnp.asarray(np.asarray(k.bj)),
+                "bcsr_vals": jnp.asarray(np.asarray(k.vals)),
+            }
+            self._bcsr_meta = (m.n_dst_blocks, m.n_src_blocks * BLOCK)
         elif aggregation == "sparse":
-            self._dense_adj = None
-            self._bcsr = None
+            agg_operands = {}
+            self._bcsr_meta = None
         else:
             raise ValueError(aggregation)
         self.aggregation = aggregation
@@ -294,6 +305,7 @@ class MpcGasEngine:
         self.P = plan.num_parties
         self.epoch_layers = (3 if variant.startswith("opt") else 2) * self.L
         self.arr = _plan_arrays(plan, jnp.float32)
+        self.arr = dataclasses.replace(self.arr, agg=agg_operands)
         _check_segment_widths(plan)
         self._key = jax.random.key(prng_seed)
         self.mode = mode
@@ -578,16 +590,17 @@ class MpcGasEngine:
         V, M, P = plan.V, plan.M, plan.num_parties
         D = sh.shape[-1]
 
-        if self._dense_adj is not None or self._bcsr is not None:
+        if arr.agg:
             # MXU paths: the whole pipeline is one exact byte-plane matmul
             # (dense flat adjacency) or one block-sparse Pallas SpMM over
             # the flattened (party, vertex) axis
             S, L = sh.shape[:2]
             flat = sh.reshape(S, L, P * V, D)
-            if self._dense_adj is not None:
-                upd = _dense_agg_shares(self._dense_adj, flat)
+            if "flat_adj_bf16" in arr.agg:
+                upd = _dense_agg_shares(arr.agg["flat_adj_bf16"], flat)
             else:
-                upd = _bcsr_agg_shares(self._bcsr, self._bcsr_width, flat)
+                ndb, width = self._bcsr_meta
+                upd = _bcsr_agg_shares(arr.agg, ndb, width, flat)
             agg = self.proto.add(sh, upd.reshape(sh.shape))
             if dest_scale:
                 key, k = jax.random.split(key)

@@ -62,11 +62,35 @@ def _spmm_call(first, bi, bj, ht, vals, n_dst_blocks: int,
     )(first, bi, bj, ht, vals)
 
 
+def _register_kernel_pytree(cls, data_attrs, meta_attrs):
+    """Register a bound-kernel class as a pytree: the device operand arrays
+    are leaves, the static layout ints are aux data. This lets callers pass
+    a kernel INTO jit-compiled functions as an argument — closure-capturing
+    it instead embeds the (possibly GB-scale) block stream as constants in
+    the serialized HLO, which the remote-compile transport rejects."""
+
+    def flatten(k):
+        return tuple(getattr(k, a) for a in data_attrs), \
+            tuple(getattr(k, a) for a in meta_attrs)
+
+    def unflatten(meta, data):
+        k = object.__new__(cls)
+        for a, v in zip(data_attrs, data):
+            setattr(k, a, v)
+        for a, v in zip(meta_attrs, meta):
+            setattr(k, a, v)
+        k.m = None  # host-side structure doesn't survive tracing
+        return k
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+
+
 class PallasSpmm:
     """Bound kernel for a fixed BCSR structure (static per device plan)."""
 
     def __init__(self, m: BcsrMatrix, interpret: bool | None = None):
         self.m = m
+        self.n_src_blocks = m.n_src_blocks
         bi, bj, vals = m.bi, m.bj, m.vals
         # every destination block must be visited at least once so its output
         # tile gets initialized; append zero blocks for uncovered bj
@@ -96,9 +120,13 @@ class PallasSpmm:
         """ht: [D, n_src_blocks*BLOCK] -> [D, n_dst_blocks*BLOCK].
 
         D must be a multiple of 8 (f32 sublane tile)."""
-        assert ht.shape[1] == self.m.n_src_blocks * BLOCK, ht.shape
+        assert ht.shape[1] == self.n_src_blocks * BLOCK, ht.shape
         return _spmm_call(self.first, self.bi, self.bj, ht, self.vals,
                           self.n_dst_blocks, self.interpret)
+
+
+_register_kernel_pytree(PallasSpmm, ("first", "bi", "bj", "vals"),
+                        ("n_src_blocks", "n_dst_blocks", "interpret"))
 
 
 # ---------------------------------------------------------------------------
@@ -198,6 +226,7 @@ class PallasSpmmTiled:
                  block_major: bool = True, interpret: bool | None = None):
         self.m, self.G, self.C, self.Cd = m, G, C, Cd
         self.block_major = block_major
+        self.n_src_blocks, self.n_dst_blocks = m.n_src_blocks, m.n_dst_blocks
         nsc = -(-m.n_src_blocks // C)
         ndc = -(-m.n_dst_blocks // Cd)
         self.n_src_chunks, self.n_dst_chunks = nsc, ndc
@@ -257,7 +286,7 @@ class PallasSpmmTiled:
 
     def __call__(self, ht: jnp.ndarray) -> jnp.ndarray:
         """ht: [D, n_src_blocks*BLOCK] -> [D, n_dst_blocks*BLOCK]."""
-        assert ht.shape[1] == self.m.n_src_blocks * BLOCK, ht.shape
+        assert ht.shape[1] == self.n_src_blocks * BLOCK, ht.shape
         D = ht.shape[0]
         pad = self.n_src_chunks * self.C * BLOCK - ht.shape[1]
         if pad:
@@ -274,7 +303,13 @@ class PallasSpmmTiled:
                               self.bjl, ht, self.vals, self.G, self.C,
                               self.Cd, self.n_dst_chunks, False,
                               self.interpret)
-        return out[:, : self.m.n_dst_blocks * BLOCK]
+        return out[:, : self.n_dst_blocks * BLOCK]
+
+
+_register_kernel_pytree(
+    PallasSpmmTiled, ("first", "oi", "hi", "bil", "bjl", "vals"),
+    ("G", "C", "Cd", "block_major", "n_src_blocks", "n_dst_blocks",
+     "n_src_chunks", "n_dst_chunks", "interpret"))
 
 
 # ---------------------------------------------------------------------------
@@ -293,7 +328,14 @@ class PallasSpmmTiled:
 # updates; K-merging is that ADD fused into MXU accumulation).
 
 
-def _merged_kernel(G):
+def _merged_kernel(G, S=1):
+    """One grid step = S independent [D, Gs*128] x [Gs*128, 128] sub-dots
+    (Gs = G // S) summed into the destination tile. A single K=G*128 dot
+    ingests A at one 128-lane row per MXU cycle — about half the HBM rate —
+    so splitting K into S independent contractions lets the compiler
+    schedule them onto the TensorCore's multiple MXUs concurrently."""
+    Gs = G // S
+
     def kernel(first_ref, oi_ref, hi_ref, row_ref, bil_ref,
                ht_ref, a_ref, out_ref):
         g = pl.program_id(0)
@@ -302,20 +344,24 @@ def _merged_kernel(G):
         def _init():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        hs = jnp.concatenate(
-            [ht_ref[bil_ref[g * G + k]] for k in range(G)], axis=1)
-        a = a_ref[...].reshape(G * BLOCK, BLOCK)
-        out_ref[row_ref[g]] += jax.lax.dot_general(
-            hs.astype(a.dtype), a, (((1,), (0,)), ((), ())),
-            preferred_element_type=out_ref.dtype)
+        parts = []
+        for s in range(S):
+            hs = jnp.concatenate(
+                [ht_ref[bil_ref[g * G + s * Gs + k]] for k in range(Gs)],
+                axis=1)
+            a = a_ref[s * Gs:(s + 1) * Gs].reshape(Gs * BLOCK, BLOCK)
+            parts.append(jax.lax.dot_general(
+                hs.astype(a.dtype), a, (((1,), (0,)), ((), ())),
+                preferred_element_type=out_ref.dtype))
+        out_ref[row_ref[g]] += functools.reduce(jnp.add, parts)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("G", "C", "Cd", "n_dst_chunks",
-                                             "interpret"))
+                                             "S", "interpret"))
 def _merged_call(first, oi, hi, row, bil, ht, vals, G: int, C: int, Cd: int,
-                 n_dst_chunks: int, interpret: bool = False):
+                 n_dst_chunks: int, S: int = 1, interpret: bool = False):
     n_groups = len(first)
     D = ht.shape[1]  # ht: [n_src_chunks*C, D, BLOCK] block-major
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -331,7 +377,7 @@ def _merged_call(first, oi, hi, row, bil, ht, vals, G: int, C: int, Cd: int,
             (Cd, D, BLOCK), lambda g, first, oi, hi, row, bil: (oi[g], 0, 0)),
     )
     return pl.pallas_call(
-        _merged_kernel(G),
+        _merged_kernel(G, S),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_dst_chunks * Cd, D, BLOCK),
                                        ht.dtype),
@@ -346,8 +392,12 @@ class PallasSpmmMerged:
     group per (cell, destination-block) run."""
 
     def __init__(self, m: BcsrMatrix, G: int = 8, C: int = 16, Cd: int = 16,
-                 interpret: bool | None = None):
+                 split: int = 1, interpret: bool | None = None):
+        if G % split:
+            raise ValueError(f"split {split} must divide G {G}")
         self.m, self.G, self.C, self.Cd = m, G, C, Cd
+        self.split = split
+        self.n_src_blocks, self.n_dst_blocks = m.n_src_blocks, m.n_dst_blocks
         nsc = -(-m.n_src_blocks // C)
         ndc = -(-m.n_dst_blocks // Cd)
         self.n_src_chunks, self.n_dst_chunks = nsc, ndc
@@ -408,7 +458,7 @@ class PallasSpmmMerged:
 
     def __call__(self, ht: jnp.ndarray) -> jnp.ndarray:
         """ht: [D, n_src_blocks*BLOCK] -> [D, n_dst_blocks*BLOCK]."""
-        assert ht.shape[1] == self.m.n_src_blocks * BLOCK, ht.shape
+        assert ht.shape[1] == self.n_src_blocks * BLOCK, ht.shape
         D = ht.shape[0]
         pad = self.n_src_chunks * self.C * BLOCK - ht.shape[1]
         if pad:
@@ -416,6 +466,12 @@ class PallasSpmmMerged:
         ht3 = ht.reshape(D, -1, BLOCK).swapaxes(0, 1)
         out3 = _merged_call(self.first, self.oi, self.hi, self.row, self.bil,
                             ht3, self.vals, self.G, self.C, self.Cd,
-                            self.n_dst_chunks, self.interpret)
+                            self.n_dst_chunks, self.split, self.interpret)
         out = out3.swapaxes(0, 1).reshape(D, -1)
-        return out[:, : self.m.n_dst_blocks * BLOCK]
+        return out[:, : self.n_dst_blocks * BLOCK]
+
+
+_register_kernel_pytree(
+    PallasSpmmMerged, ("first", "oi", "hi", "row", "bil", "vals"),
+    ("G", "C", "Cd", "split", "n_src_blocks", "n_dst_blocks",
+     "n_src_chunks", "n_dst_chunks", "interpret"))

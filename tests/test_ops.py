@@ -23,8 +23,8 @@ class TestDenseAggregation:
         e_dense = GasEngine(build_device_plan(graphs, dense=True), param,
                             aggregation="dense")
         e_sparse = GasEngine(build_device_plan(graphs, dense=False), param)
-        assert e_dense._dense_adj is not None
-        assert e_sparse._dense_adj is None
+        assert "flat_adj" in e_dense._agg_data
+        assert "flat_adj" not in e_sparse._agg_data
         md = GasEngine.metrics_host(e_dense.run_epochs(3))
         ms = GasEngine.metrics_host(e_sparse.run_epochs(3))
         np.testing.assert_allclose(md["loss"], ms["loss"], atol=1e-5)

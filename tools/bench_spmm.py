@@ -36,6 +36,9 @@ def main():
                     help="comma-separated G sweep for the merged-K "
                          "same-destination variant")
     ap.add_argument("--c", type=int, default=16, help="src supertile blocks")
+    ap.add_argument("--split", type=str, default="1",
+                    help="comma-separated K-split sweep for --merged "
+                         "(independent sub-dots per step -> multiple MXUs)")
     ap.add_argument("--skip-xla", action="store_true")
     ap.add_argument("--lane-layout", action="store_true",
                     help="tiled variant: dynamic lane slicing instead of "
@@ -44,10 +47,58 @@ def main():
                     help="time N data-dependent chained dispatches inside "
                          "one jit (defeats the tunnel's async-dispatch "
                          "timing artifact on sub-ms kernels)")
+    ap.add_argument("--dense-probe", type=str, default="",
+                    help="comma-separated M sweep: measure raw MXU A-stream "
+                         "consumption for [M,K]x[K,128] dense dots (the "
+                         "hardware ceiling the SpMM kernels chase)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    try:
+        cache = Path(__file__).resolve().parent.parent / ".xla_cache"
+        cache.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:  # noqa: BLE001
+        print(f"(compile cache unavailable: {e})", file=sys.stderr)
+
+    if args.dense_probe:
+        # What rate can the MXU consume a streamed contraction operand at,
+        # as a function of LHS rows M? A_stream GB/s here bounds every
+        # BCSR variant (they all feed A through the MXU as RHS rows).
+        K = 1 << 16
+        a_big = jnp.asarray(
+            np.random.default_rng(1).normal(size=(K, 128)), jnp.bfloat16)
+        for M in (int(s) for s in args.dense_probe.split(",")):
+            h = jnp.asarray(np.random.default_rng(2).normal(size=(M, K)),
+                            jnp.bfloat16)
+
+            @jax.jit
+            def probe(h, a, n=args.chain or 64):
+                def body(_, carry):
+                    h, acc = carry
+                    o = jax.lax.dot_general(
+                        h, a, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    # data dependence: fold output back into h cheaply
+                    return (h + o[:, :1].astype(h.dtype) * 1e-30, acc + o)
+                return jax.lax.fori_loop(
+                    0, n, body, (h, jnp.zeros((h.shape[0], 128))))[1]
+
+            jax.block_until_ready(probe(h, a_big))
+            t0 = time.perf_counter()
+            r = probe(h, a_big)
+            float(np.asarray(jnp.sum(r)))
+            dt = time.perf_counter() - t0
+            n = args.chain or 64
+            gb = n * K * 128 * 2 / 1e9
+            if dt < 0.5:
+                print(f"  WARNING: window {dt*1e3:.0f} ms < 500 ms")
+            print(f"dense probe M={M:4d}: A-stream {gb/dt:.0f} GB/s  "
+                  f"({dt/n*1e6:.0f} us per K={K} dot)", flush=True)
+        return
 
     from cognn_tpu.ops.bcsr import build_bcsr
     from cognn_tpu.ops.pallas_spmm import PallasSpmm
@@ -79,14 +130,17 @@ def main():
             n = args.chain
 
             @jax.jit
-            def chained_fn(h0):
+            def chained_fn(kern, h0):
+                # kern rides in as a pytree ARGUMENT: closure-capturing it
+                # would embed the GB-scale block stream as HLO constants,
+                # which the remote-compile transport rejects (HTTP 413)
                 def body(_, h):
-                    o = fn(h)
+                    o = kern(h)
                     return h + o[:, : h.shape[1]] * 1e-30
                 return jax.lax.fori_loop(0, n, body, h0)
 
             def chained():
-                return chained_fn(x)
+                return chained_fn(fn, x)
 
             jax.block_until_ready(chained())
             # grand window ended by a VALUE FETCH: through the axon tunnel
@@ -157,15 +211,20 @@ def main():
         from cognn_tpu.ops.pallas_spmm import PallasSpmmMerged
 
         for g in (int(s) for s in args.merged.split(",")):
-            km = PallasSpmmMerged(m, G=g, C=args.c, Cd=args.c)
-            jax.block_until_ready(km(x))  # compile
-            tm = timeit(km)
-            pad_mb = km.n_groups * g * 128 * 128 * 2 / 1e6
-            vs = f"  -> {t/tm:.2f}x vs base" if t is not None else ""
-            print(f"pallas merged(G={g},C={args.c}): {tm*1e3:.3f} ms  "
-                  f"{E/tm/1e9:.2f} Gedge/s  stream={pad_mb:.0f} MB "
-                  f"(pad {pad_mb/mb - 1:+.0%}){vs}", flush=True)
-            check(km, f"merged(G={g})")
+            for sp in (int(s) for s in args.split.split(",")):
+                if g % sp:
+                    continue
+                km = PallasSpmmMerged(m, G=g, C=args.c, Cd=args.c, split=sp)
+                jax.block_until_ready(km(x))  # compile
+                tm = timeit(km)
+                pad_mb = km.n_groups * g * 128 * 128 * 2 / 1e6
+                vs = f"  -> {t/tm:.2f}x vs base" if t is not None else ""
+                print(f"pallas merged(G={g},S={sp},C={args.c}): "
+                      f"{tm*1e3:.3f} ms  {E/tm/1e9:.2f} Gedge/s  "
+                      f"stream={pad_mb:.0f} MB  eff-BW "
+                      f"{pad_mb/1e3/tm:.0f} GB/s "
+                      f"(pad {pad_mb/mb - 1:+.0%}){vs}", flush=True)
+                check(km, f"merged(G={g},S={sp})")
 
     if args.skip_xla:
         return
