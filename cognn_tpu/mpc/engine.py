@@ -123,8 +123,7 @@ def _dense_agg_shares(adj_bf16: jnp.ndarray, sh_flat: jnp.ndarray
     return jnp.stack(acc)  # [S, L, Vdst, D]
 
 
-def _bcsr_agg_shares(agg, ndb: int, width: int,
-                     sh_flat: jnp.ndarray) -> jnp.ndarray:
+def _bcsr_agg_shares(kern, sh_flat: jnp.ndarray) -> jnp.ndarray:
     """Exact mod-2^(32L) share aggregation upd = A^T @ sh on the Pallas
     block-sparse SpMM — the dense byte-plane trick (`_dense_agg_shares`)
     at block-sparse scale (PubMed-class graphs where the flat (P·V)^2
@@ -132,6 +131,8 @@ def _bcsr_agg_shares(agg, ndb: int, width: int,
     as stacked f32 rows (the kernel casts to bf16 internally — exact for
     planes <= 255 — and accumulates in f32, exact under the 2^24 total
     in-edge guard checked at init), then recombine with carries."""
+    from cognn_tpu.ops.bcsr import BLOCK
+
     S, L, V, D = sh_flat.shape
     planes = []
     for s in range(S):
@@ -141,13 +142,10 @@ def _bcsr_agg_shares(agg, ndb: int, width: int,
                 planes.append(((word >> _U32(8 * b)) & _U32(0xFF))
                               .astype(jnp.float32))
     ht = jnp.concatenate(planes, axis=-1).T  # [S*L*4*D, V] plane-major rows
+    width = kern.n_src_blocks * BLOCK
     if width != V:
         ht = jnp.pad(ht, ((0, 0), (0, width - V)))
-    from cognn_tpu.ops.pallas_spmm import _spmm_call
-
-    out = _spmm_call(agg["bcsr_first"], agg["bcsr_bi"], agg["bcsr_bj"], ht,
-                     agg["bcsr_vals"], ndb,
-                     jax.default_backend() != "tpu")[:, :V]  # f32 exact
+    out = kern(ht)[:, :V]  # f32 exact
     out_t = out.T.reshape(V, S * L * 4, D).astype(_U32)
     acc = [None] * S
     for s in range(S):
@@ -257,13 +255,11 @@ class MpcGasEngine:
                     "f32 mantissa in the dense byte-plane share aggregation "
                     "(use aggregation='sparse')")
             agg_operands = {"flat_adj_bf16": jnp.asarray(flat, jnp.bfloat16)}
-            self._bcsr_meta = None
         elif aggregation == "bcsr":
             if mode != "stacked":
                 raise ValueError("bcsr mpc aggregation is stacked-only")
             from cognn_tpu.engine.gas import _party_edges
-            from cognn_tpu.ops.bcsr import BLOCK, build_bcsr
-            from cognn_tpu.ops.pallas_spmm import PallasSpmm
+            from cognn_tpu.ops.bcsr import build_bcsr
 
             Pn, Vn = plan.num_parties, plan.V
             srcs, dsts = [], []
@@ -283,17 +279,11 @@ class MpcGasEngine:
                     f"a destination accumulates {max_in} in-edges; "
                     "255 * count >= 2^24 overflows the f32 mantissa in the "
                     "bcsr byte-plane share aggregation (use 'sparse')")
-            k = PallasSpmm(m, interpret=True)  # reuse dst-coverage padding
-            agg_operands = {
-                "bcsr_first": jnp.asarray(np.asarray(k.first)),
-                "bcsr_bi": jnp.asarray(np.asarray(k.bi)),
-                "bcsr_bj": jnp.asarray(np.asarray(k.bj)),
-                "bcsr_vals": jnp.asarray(np.asarray(k.vals)),
-            }
-            self._bcsr_meta = (m.n_dst_blocks, m.n_src_blocks * BLOCK)
+            from cognn_tpu.engine.gas import _pick_bcsr_kernel
+
+            agg_operands = {"bcsr_kernel": _pick_bcsr_kernel(m)}
         elif aggregation == "sparse":
             agg_operands = {}
-            self._bcsr_meta = None
         else:
             raise ValueError(aggregation)
         self.aggregation = aggregation
@@ -599,8 +589,7 @@ class MpcGasEngine:
             if "flat_adj_bf16" in arr.agg:
                 upd = _dense_agg_shares(arr.agg["flat_adj_bf16"], flat)
             else:
-                ndb, width = self._bcsr_meta
-                upd = _bcsr_agg_shares(arr.agg, ndb, width, flat)
+                upd = _bcsr_agg_shares(arr.agg["bcsr_kernel"], flat)
             agg = self.proto.add(sh, upd.reshape(sh.shape))
             if dest_scale:
                 key, k = jax.random.split(key)
