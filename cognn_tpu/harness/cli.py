@@ -67,8 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fixed-point fractional bits (SCALER_BIT_LENGTH)")
     p.add_argument("--aggregation", default="auto",
                    choices=["auto", "sparse", "dense", "bcsr"],
-                   help="plaintext aggregation backend (bcsr = Pallas "
-                        "block-sparse SpMM; dense = flat MXU adjacency)")
+                   help="aggregation backend, plaintext and mpc (bcsr = "
+                        "Pallas block-sparse SpMM; dense = flat MXU "
+                        "adjacency; auto = measured-best for the scale)")
     p.add_argument("--dense-aggregation", action="store_true",
                    help="alias for --aggregation dense")
     p.add_argument("--checkpoint-every", type=int, default=0,

@@ -130,12 +130,11 @@ def main(argv=None) -> int:
 
         fp = FixedPointSpec(RING64 if cfg.ring_bits == 64 else RING32,
                             cfg.scaler_bits)
-        # mpc supports sparse (default), dense, and bcsr (stacked) backends
-        mpc_agg = (aggregation if aggregation in ("dense", "bcsr")
-                   else "sparse")
+        # mpc supports auto, sparse, dense, and bcsr (the MXU backends are
+        # stacked-only; "auto" resolves under the byte-plane guards)
         engine = MpcGasEngine(plan, param, cfg.variant, fp=fp,
                               mode=args.mode, mesh=mesh,
-                              aggregation=mpc_agg)
+                              aggregation=aggregation)
     else:
         engine = GasEngine(plan, param, cfg.variant, mode=args.mode,
                            mesh=mesh, aggregation=aggregation)

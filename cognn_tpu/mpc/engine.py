@@ -41,6 +41,35 @@ from cognn_tpu.utils.glibc_rand import glorot_init
 _U32 = jnp.uint32
 
 
+def _select_mpc_backend(plan: DevicePlan, mode: str) -> str:
+    """``aggregation="auto"`` policy for the secret-shared engine — the
+    plaintext `select_backend` policy constrained by the byte-plane
+    exactness guards (edge multiplicity <= 256 and 255 * max total
+    in-edges < 2^24; outside them only the carry-free sparse OGA is
+    exact). Measured (GOLDEN.md, one v5e): scan-compiled mpc Cora epochs
+    sparse 5.5 ms / bcsr 0.87 ms / dense 0.62 ms."""
+    if mode != "stacked" or jax.default_backend() != "tpu":
+        return "sparse"
+    from cognn_tpu.engine.gas import _party_edges
+    from cognn_tpu.engine.plan import DENSE_ADJ_BUDGET
+
+    P, V = plan.num_parties, plan.V
+    pairs = []
+    for p in range(P):
+        s, d = _party_edges(plan, p)
+        pairs.append((p * V + s) * np.int64(P * V) + d)
+    pairs = np.concatenate(pairs) if pairs else np.zeros(0, np.int64)
+    if len(pairs):
+        mult = int(np.unique(pairs, return_counts=True)[1].max())
+        max_in = int(np.bincount(pairs % (P * V),
+                                 minlength=P * V).max())
+        if mult > 256 or max_in * 255 >= (1 << 24):
+            return "sparse"
+    if P * P * V * V <= DENSE_ADJ_BUDGET:
+        return "dense"
+    return "bcsr"
+
+
 def _segment_sum_shares(sh: jnp.ndarray, seg: jnp.ndarray,
                         num_segments: int) -> jnp.ndarray:
     """Exact mod-2^64 segment sum of share rows, carry-free on TPU.
@@ -233,6 +262,8 @@ class MpcGasEngine:
         if variant not in ("opt", "opt_inference", "unopt"):
             raise ValueError(variant)
         set_split(plan, param.train_ratio, param.val_ratio)
+        if aggregation == "auto":
+            aggregation = _select_mpc_backend(plan, mode)
         if aggregation == "dense":
             if mode != "stacked":
                 raise ValueError("dense mpc aggregation is stacked-only")

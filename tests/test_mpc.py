@@ -174,6 +174,29 @@ def test_dense_mpc_total_indeg_guard():
         MpcGasEngine(build_device_plan(graphs), param, aggregation="dense")
 
 
+def test_mpc_auto_backend_selection():
+    """aggregation='auto' resolves to the measured-best backend under the
+    byte-plane exactness guards: sparse off-TPU / sharded, dense under
+    budget on TPU, bcsr above it."""
+    from unittest import mock
+
+    from cognn_tpu.mpc.engine import _select_mpc_backend
+
+    src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
+    param = make_param(32, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    plan = build_device_plan(graphs)
+    assert _select_mpc_backend(plan, "stacked") == "sparse"  # CPU backend
+    with mock.patch.object(jax, "default_backend", lambda: "tpu"):
+        assert _select_mpc_backend(plan, "stacked") == "dense"
+        assert _select_mpc_backend(plan, "sharded") == "sparse"
+        with mock.patch("cognn_tpu.engine.plan.DENSE_ADJ_BUDGET", 1):
+            assert _select_mpc_backend(plan, "stacked") == "bcsr"
+    # engine accepts "auto" and resolves it
+    e = MpcGasEngine(plan, param, aggregation="auto")
+    assert e.aggregation == "sparse"
+
+
 def test_sharded_mpc_matches_stacked():
     """Multi-device secret-shared training == stacked (bit-identical)."""
     if len(jax.devices()) < 4:
