@@ -211,15 +211,18 @@ def _build_bcsr_stacked(plan: DevicePlan):
         (m.n_src_blocks, m.n_dst_blocks)
 
 
+BCSR_TILED_NNZB = 1024  # supertile the SpMM at/above this block count
+
+
 def _pick_bcsr_kernel(m):
     """Measured-best Pallas SpMM variant for a BCSR structure (TPU v5e,
     tools/bench_spmm.py): the one-block-per-step kernel pipelines fine on
     small streams but collapses to ~33 us/step DMA latency at GB-scale
-    streams; the supertiled G=32 variant runs those within ~1.4x of the
-    HBM roofline (~626 GB/s measured) at +9% stream padding."""
+    streams; the supertiled G=32 variant runs those at 690 GB/s sustained
+    (1.30x off the ideal HBM roofline) for +9% stream padding."""
     from cognn_tpu.ops.pallas_spmm import PallasSpmm, PallasSpmmTiled
 
-    if m.nnzb >= 1024:
+    if m.nnzb >= BCSR_TILED_NNZB:
         return PallasSpmmTiled(m, G=32, C=16, Cd=16)
     return PallasSpmm(m)
 

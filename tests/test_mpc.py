@@ -156,6 +156,29 @@ def test_bcsr_mpc_aggregation_matches_sparse(n_parties):
                                       sparse.reveal_weights()[l])
 
 
+def test_supertiled_bcsr_mpc_matches_sparse():
+    """The byte-plane share aggregation stays EXACT (bit-identical) on the
+    supertiled kernel variant the auto-pick uses at PubMed scale."""
+    from unittest import mock
+
+    from cognn_tpu.ops.pallas_spmm import PallasSpmmTiled
+
+    src, dst, feats, labels = make_dataset(n=40, m=200, homophily=0.7)
+    param = make_param(40, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    sparse = MpcGasEngine(build_device_plan(graphs), param)
+    with mock.patch("cognn_tpu.engine.gas.BCSR_TILED_NNZB", 1):
+        tiled = MpcGasEngine(build_device_plan(graphs), param,
+                             aggregation="bcsr")
+    assert isinstance(tiled.arr.agg["bcsr_kernel"], PallasSpmmTiled)
+    ms = sparse.metrics_host(sparse.run_epochs(2))
+    mt = tiled.metrics_host(tiled.run_epochs(2))
+    np.testing.assert_array_equal(mt["loss"], ms["loss"])
+    for l in range(2):
+        np.testing.assert_array_equal(tiled.reveal_weights()[l],
+                                      sparse.reveal_weights()[l])
+
+
 def test_dense_mpc_total_indeg_guard():
     """A destination whose TOTAL in-edge count (all source parties
     combined) reaches 2^24/255 must be rejected at dense init: the

@@ -142,6 +142,28 @@ class TestBcsrAggregationBackend:
             np.abs(np.asarray(zs)).max())
         assert rel < 5e-3  # bf16 operand rounding in the kernel
 
+    def test_supertiled_engine_path_matches_sparse(self):
+        """Force the supertiled kernel variant (the nnzb>=BCSR_TILED_NNZB
+        auto-pick used at PubMed scale) through the engine in interpret
+        mode and pin it against the sparse backend."""
+        from unittest import mock
+
+        from cognn_tpu.ops.pallas_spmm import PallasSpmmTiled
+
+        src, dst, feats, labels = make_dataset(n=48, m=300, homophily=0.7)
+        param = make_param(48, feats.shape[1], labels.max() + 1)
+        graphs = build_parties(src, dst, feats, labels, 2)
+        e_sparse = GasEngine(build_device_plan(graphs), param)
+        with mock.patch("cognn_tpu.engine.gas.BCSR_TILED_NNZB", 1):
+            e_tiled = GasEngine(build_device_plan(graphs), param,
+                                aggregation="bcsr")
+        assert isinstance(e_tiled._agg_data["bcsr_kernel"], PallasSpmmTiled)
+        zs, _, _ = e_sparse.forward()
+        zt, _, _ = e_tiled.forward()
+        rel = np.abs(np.asarray(zt) - np.asarray(zs)).max() / (
+            np.abs(np.asarray(zs)).max())
+        assert rel < 5e-3  # bf16 operand rounding in the kernel
+
 
 class TestReorder:
     @pytest.mark.parametrize("n_parties", [1, 2])
