@@ -229,20 +229,57 @@ def _pick_bcsr_kernel(m):
 
 def _build_bcsr_sharded(plan: DevicePlan):
     """Per-party BCSR over (local V src) x (global P*V dst), padded to a
-    uniform nonzero-block count so one shard_map program serves every party.
-    Returns (agg_data dict of [P, ...] arrays, n_src_blocks, n_dst_blocks)."""
+    uniform shape so ONE shard_map program serves every party. Uses the
+    same measured-best kernel policy as stacked mode: the supertiled
+    variant when any party's structure reaches ``BCSR_TILED_NNZB``
+    (group-padded to a uniform count), the one-block kernel below it.
+    Returns (agg_data dict of [P, ...] arrays, (n_src_blocks,
+    n_dst_blocks) or a tiled-meta tuple)."""
     from cognn_tpu.ops.bcsr import BLOCK, build_bcsr
-    from cognn_tpu.ops.pallas_spmm import PallasSpmm
+    from cognn_tpu.ops.pallas_spmm import PallasSpmm, PallasSpmmTiled
 
     P, V = plan.num_parties, plan.V
-    parts = []
+    ms = []
     for p in range(P):
         s, d = _party_edges(plan, p)
-        m = build_bcsr(s, d, V, P * V)
+        ms.append(build_bcsr(s, d, V, P * V))
+    n_src_blocks = ms[0].n_src_blocks
+    n_dst_blocks = ms[0].n_dst_blocks
+
+    if max(m.nnzb for m in ms) >= BCSR_TILED_NNZB:
+        ks = [PallasSpmmTiled(m, G=32, C=16, Cd=16, interpret=True)
+              for m in ms]
+        ng = max(len(np.asarray(k.first)) for k in ks)
+        cols = {a: [] for a in ("first", "oi", "hi", "bil", "bjl", "vals")}
+        for k in ks:
+            first, oi, hi = (np.asarray(k.first), np.asarray(k.oi),
+                             np.asarray(k.hi))
+            bil, bjl = np.asarray(k.bil), np.asarray(k.bjl)
+            vals = np.asarray(k.vals)
+            pad = ng - len(first)
+            # pad groups: zero A blocks aimed at this party's LAST output
+            # supertile (keeps the sorted-by-oi revisit invariant; zero
+            # products accumulate nothing)
+            cols["first"].append(np.pad(first, (0, pad)))
+            cols["oi"].append(np.pad(oi, (0, pad),
+                                     constant_values=int(oi[-1])))
+            cols["hi"].append(np.pad(hi, (0, pad)))
+            cols["bil"].append(np.pad(bil, (0, pad * k.G)))
+            cols["bjl"].append(np.pad(bjl, (0, pad * k.G)))
+            cols["vals"].append(np.pad(vals,
+                                       ((0, pad * k.G), (0, 0), (0, 0))))
+        data = {f"bcsr_t_{a}": jnp.asarray(np.stack(v))
+                for a, v in cols.items()}
+        k0 = ks[0]
+        meta = ("tiled", k0.G, k0.C, k0.Cd, k0.n_src_chunks,
+                k0.n_dst_chunks, n_src_blocks, n_dst_blocks)
+        return data, meta
+
+    parts = []
+    for m in ms:
         k = PallasSpmm(m, interpret=True)  # reuse its dst-coverage padding
         parts.append((np.asarray(k.first), np.asarray(k.bi),
                       np.asarray(k.bj), np.asarray(k.vals)))
-        n_src_blocks, n_dst_blocks = m.n_src_blocks, m.n_dst_blocks
     nnzb = max(len(f) for f, *_ in parts)
     firsts, bis, bjs, vals = [], [], [], []
     for f, bi, bj, v in parts:
@@ -259,7 +296,7 @@ def _build_bcsr_sharded(plan: DevicePlan):
         "bcsr_bj": jnp.asarray(np.stack(bjs)),
         "bcsr_vals": jnp.asarray(np.stack(vals)),
     }
-    return data, n_src_blocks, n_dst_blocks
+    return data, ("base", n_src_blocks, n_dst_blocks)
 
 
 class GasEngine:
@@ -311,8 +348,7 @@ class GasEngine:
         self._bcsr_blocks = None
         if aggregation == "bcsr":
             if mode == "sharded":
-                self._agg_data, nsb, ndb = _build_bcsr_sharded(plan)
-                self._bcsr_blocks = (nsb, ndb)
+                self._agg_data, self._bcsr_blocks = _build_bcsr_sharded(plan)
             else:
                 data, self._bcsr_blocks = _build_bcsr_stacked(plan)
                 self._agg_data.update(data)
@@ -412,25 +448,45 @@ class GasEngine:
             agg = agg * norm0(arr.in_deg)[..., None] if dest_scale else agg
             return agg
 
-        if "bcsr_vals" in agg_data:
-            # sharded Pallas BCSR: each party runs its own [V x P*V] SpMM,
+        if "bcsr_vals" in agg_data or "bcsr_t_vals" in agg_data:
+            # sharded Pallas BCSR: each party runs its own [V x P*V] SpMM
+            # (one-block or supertiled kernel per the stacked-mode policy),
             # then the per-peer V-row update chunks ride the halo collective
             from cognn_tpu.ops.bcsr import BLOCK
-            from cognn_tpu.ops.pallas_spmm import _spmm_call
+            from cognn_tpu.ops.pallas_spmm import _spmm_call, _tiled_call
 
-            nsb, ndb = self._bcsr_blocks
             interp = jax.default_backend() != "tpu"
             Dp = -(-D // 8) * 8
             Pl = h.shape[0]
 
-            def one(i):
-                ht = h[i].T  # [D, V]
-                ht = jnp.pad(ht, ((0, Dp - D), (0, nsb * BLOCK - V)))
-                out = _spmm_call(agg_data["bcsr_first"][i],
-                                 agg_data["bcsr_bi"][i],
-                                 agg_data["bcsr_bj"][i], ht,
-                                 agg_data["bcsr_vals"][i], ndb, interp)
-                return out[:D, :P * V].T  # [P*V, D]
+            if self._bcsr_blocks[0] == "tiled":
+                (_, G, C, Cd, nsc, ndc, nsb, ndb) = self._bcsr_blocks
+
+                def one(i):
+                    ht = h[i].T  # [D, V]
+                    ht = jnp.pad(ht,
+                                 ((0, Dp - D), (0, nsc * C * BLOCK - V)))
+                    ht3 = ht.reshape(Dp, -1, BLOCK).swapaxes(0, 1)
+                    out3 = _tiled_call(agg_data["bcsr_t_first"][i],
+                                       agg_data["bcsr_t_oi"][i],
+                                       agg_data["bcsr_t_hi"][i],
+                                       agg_data["bcsr_t_bil"][i],
+                                       agg_data["bcsr_t_bjl"][i], ht3,
+                                       agg_data["bcsr_t_vals"][i],
+                                       G, C, Cd, ndc, True, interp)
+                    out = out3.swapaxes(0, 1).reshape(Dp, -1)
+                    return out[:D, :P * V].T  # [P*V, D]
+            else:
+                _, nsb, ndb = self._bcsr_blocks
+
+                def one(i):
+                    ht = h[i].T  # [D, V]
+                    ht = jnp.pad(ht, ((0, Dp - D), (0, nsb * BLOCK - V)))
+                    out = _spmm_call(agg_data["bcsr_first"][i],
+                                     agg_data["bcsr_bi"][i],
+                                     agg_data["bcsr_bj"][i], ht,
+                                     agg_data["bcsr_vals"][i], ndb, interp)
+                    return out[:D, :P * V].T  # [P*V, D]
 
             send = jnp.stack([one(i) for i in range(Pl)])  # [Pl, P*V, D]
             send = send.reshape(Pl, P, V, D)

@@ -114,7 +114,8 @@ def main(argv=None) -> int:
     aggregation = "dense" if args.dense_aggregation else args.aggregation
     with duration_span("preprocess"):
         plan = build_device_plan(graphs, lane=8,
-                                 dense=(aggregation == "dense") or None)
+                                 dense=(aggregation == "dense") or None,
+                                 reorder=args.reorder)
 
     mesh = None
     if args.mode == "sharded":

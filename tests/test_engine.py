@@ -139,6 +139,33 @@ def test_sharded_backends_match_stacked(aggregation):
                                np.asarray(ms["loss"]), atol=atol)
 
 
+def test_sharded_supertiled_bcsr_matches_stacked():
+    """The sharded bcsr backend's supertiled-kernel variant (auto-picked
+    at PubMed scale via BCSR_TILED_NNZB) matches stacked sparse."""
+    from unittest import mock
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    src, dst, feats, labels = make_dataset(n=48, m=300, homophily=0.7)
+    param = make_param(48, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    stacked = GasEngine(build_device_plan(graphs), param, "opt",
+                        aggregation="sparse")
+    mesh = jax.make_mesh((2,), ("party",))
+    with mock.patch("cognn_tpu.engine.gas.BCSR_TILED_NNZB", 1):
+        sharded = GasEngine(build_device_plan(graphs), param, "opt",
+                            mode="sharded", mesh=mesh, aggregation="bcsr")
+    assert sharded._bcsr_blocks[0] == "tiled"
+    assert "bcsr_t_vals" in sharded._agg_data
+    ms = stacked.run_epochs(2)
+    mh = sharded.run_epochs(2)
+    for l in range(2):
+        np.testing.assert_allclose(np.asarray(sharded.weights[l]),
+                                   np.asarray(stacked.weights[l]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mh["loss"]),
+                               np.asarray(ms["loss"]), atol=1e-3)
+
+
 @pytest.mark.parametrize("variant", ["opt", "unopt"])
 def test_three_layer_gcn(variant):
     """L=3 generalization (the reference hardcodes 2 layers in its init;
