@@ -131,8 +131,8 @@ def main(argv=None) -> int:
 
         fp = FixedPointSpec(RING64 if cfg.ring_bits == 64 else RING32,
                             cfg.scaler_bits)
-        # mpc supports auto, sparse, dense, and bcsr (the MXU backends are
-        # stacked-only; "auto" resolves under the byte-plane guards)
+        # mpc supports auto, sparse, dense (stacked-only), and bcsr
+        # (stacked AND sharded); "auto" resolves under the byte-plane guards
         engine = MpcGasEngine(plan, param, cfg.variant, fp=fp,
                               mode=args.mode, mesh=mesh,
                               aggregation=aggregation)

@@ -130,26 +130,43 @@ def _dense_agg_shares(adj_bf16: jnp.ndarray, sh_flat: jnp.ndarray
     the plaintext engine's dense backend (SecureAggregation ADD,
     `optimize-gcn/gcn.h:309-342`)."""
     S, L, V, D = sh_flat.shape
+    rhs = _expand_byte_planes(sh_flat, jnp.bfloat16).T  # [V, S*L*4*D]
+    out = jax.lax.dot_general(adj_bf16, rhs, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return _recombine_byte_planes(out.reshape(out.shape[0], S * L * 4, D),
+                                  S, L)
+
+
+def _expand_byte_planes(sh_flat: jnp.ndarray, dtype) -> jnp.ndarray:
+    """uint32 shares [S, L, V, D] -> plane-major rows [S*L*4*D, V]: each
+    32-bit limb split into four byte planes (values <= 255, exact in bf16
+    and f32)."""
+    S, L, V, D = sh_flat.shape
     planes = []
     for s in range(S):
         for l in range(L):
             word = sh_flat[s, l]
             for b in range(4):
                 planes.append(((word >> _U32(8 * b)) & _U32(0xFF))
-                              .astype(jnp.bfloat16))
-    rhs = jnp.concatenate(planes, axis=-1)  # [V, S*L*4*D]
-    out = jax.lax.dot_general(adj_bf16, rhs, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    out = out.reshape(out.shape[0], S * L * 4, D).astype(_U32)
+                              .astype(dtype))
+    return jnp.concatenate(planes, axis=-1).T
+
+
+def _recombine_byte_planes(out_t: jnp.ndarray, S: int, L: int
+                           ) -> jnp.ndarray:
+    """Inverse of `_expand_byte_planes` after an f32-exact linear op:
+    out_t [Vdst, S*L*4, D] f32 -> ring shares [S, L, Vdst, D] u32, with
+    carry propagation."""
+    out_t = out_t.astype(_U32)
     acc = [None] * S
     for s in range(S):
         for l in range(L):
             for b in range(4):
-                term = _shift64_u32(out[:, (s * L + l) * 4 + b],
+                term = _shift64_u32(out_t[:, (s * L + l) * 4 + b],
                                     32 * l + 8 * b, L)
                 acc[s] = term if acc[s] is None else ring_add(
                     _spec_for(L), acc[s], term)
-    return jnp.stack(acc)  # [S, L, Vdst, D]
+    return jnp.stack(acc)
 
 
 def _bcsr_agg_shares(kern, sh_flat: jnp.ndarray) -> jnp.ndarray:
@@ -163,28 +180,12 @@ def _bcsr_agg_shares(kern, sh_flat: jnp.ndarray) -> jnp.ndarray:
     from cognn_tpu.ops.bcsr import BLOCK
 
     S, L, V, D = sh_flat.shape
-    planes = []
-    for s in range(S):
-        for l in range(L):
-            word = sh_flat[s, l]
-            for b in range(4):
-                planes.append(((word >> _U32(8 * b)) & _U32(0xFF))
-                              .astype(jnp.float32))
-    ht = jnp.concatenate(planes, axis=-1).T  # [S*L*4*D, V] plane-major rows
+    ht = _expand_byte_planes(sh_flat, jnp.float32)  # [S*L*4*D, V]
     width = kern.n_src_blocks * BLOCK
     if width != V:
         ht = jnp.pad(ht, ((0, 0), (0, width - V)))
     out = kern(ht)[:, :V]  # f32 exact
-    out_t = out.T.reshape(V, S * L * 4, D).astype(_U32)
-    acc = [None] * S
-    for s in range(S):
-        for l in range(L):
-            for b in range(4):
-                term = _shift64_u32(out_t[:, (s * L + l) * 4 + b],
-                                    32 * l + 8 * b, L)
-                acc[s] = term if acc[s] is None else ring_add(
-                    _spec_for(L), acc[s], term)
-    return jnp.stack(acc)  # [S, L, Vdst, D]
+    return _recombine_byte_planes(out.T.reshape(V, S * L * 4, D), S, L)
 
 
 def _ring_psum_shares(sh: jnp.ndarray, axis_name: str) -> jnp.ndarray:
@@ -264,6 +265,7 @@ class MpcGasEngine:
         set_split(plan, param.train_ratio, param.val_ratio)
         if aggregation == "auto":
             aggregation = _select_mpc_backend(plan, mode)
+        self._bcsr_sharded_meta = None
         if aggregation == "dense":
             if mode != "stacked":
                 raise ValueError("dense mpc aggregation is stacked-only")
@@ -287,8 +289,6 @@ class MpcGasEngine:
                     "(use aggregation='sparse')")
             agg_operands = {"flat_adj_bf16": jnp.asarray(flat, jnp.bfloat16)}
         elif aggregation == "bcsr":
-            if mode != "stacked":
-                raise ValueError("bcsr mpc aggregation is stacked-only")
             from cognn_tpu.engine.gas import _party_edges
             from cognn_tpu.ops.bcsr import build_bcsr
 
@@ -299,20 +299,47 @@ class MpcGasEngine:
                 srcs.append(p * Vn + s)
                 dsts.append(d)
             dsts_all = np.concatenate(dsts)
-            m = build_bcsr(np.concatenate(srcs), dsts_all,
-                           Pn * Vn, Pn * Vn)
-            if m.vals.max() > 256:
-                raise ValueError("edge multiplicity > 256 breaks bf16 "
-                                 "exactness of the bcsr share aggregation")
-            max_in = int(np.bincount(dsts_all).max()) if len(dsts_all) else 0
-            if max_in * 255 >= (1 << 24):
-                raise ValueError(
-                    f"a destination accumulates {max_in} in-edges; "
-                    "255 * count >= 2^24 overflows the f32 mantissa in the "
-                    "bcsr byte-plane share aggregation (use 'sparse')")
-            from cognn_tpu.engine.gas import _pick_bcsr_kernel
+            if mode == "sharded":
+                # per-party [V x P*V] kernels; each party's f32 partial
+                # sums recombine to ring BEFORE the cross-party ring-add,
+                # so the mantissa bound applies per SOURCE party
+                for p in range(Pn):
+                    if not len(dsts[p]):
+                        continue
+                    max_in = int(np.bincount(dsts[p]).max())
+                    if max_in * 255 >= (1 << 24):
+                        raise ValueError(
+                            f"party {p} sends {max_in} in-edges to one "
+                            "destination; 255 * count >= 2^24 overflows "
+                            "the f32 mantissa (use 'sparse')")
+                    pair = srcs[p] * np.int64(Pn * Vn) + dsts[p]
+                    if int(np.unique(pair, return_counts=True)[1].max()) \
+                            > 256:
+                        raise ValueError(
+                            "edge multiplicity > 256 breaks bf16 exactness "
+                            "of the bcsr share aggregation")
+                from cognn_tpu.engine.gas import _build_bcsr_sharded
 
-            agg_operands = {"bcsr_kernel": _pick_bcsr_kernel(m)}
+                agg_operands, self._bcsr_sharded_meta = \
+                    _build_bcsr_sharded(plan)
+            else:
+                m = build_bcsr(np.concatenate(srcs), dsts_all,
+                               Pn * Vn, Pn * Vn)
+                if m.vals.max() > 256:
+                    raise ValueError("edge multiplicity > 256 breaks bf16 "
+                                     "exactness of the bcsr share "
+                                     "aggregation")
+                max_in = (int(np.bincount(dsts_all).max())
+                          if len(dsts_all) else 0)
+                if max_in * 255 >= (1 << 24):
+                    raise ValueError(
+                        f"a destination accumulates {max_in} in-edges; "
+                        "255 * count >= 2^24 overflows the f32 mantissa in "
+                        "the bcsr byte-plane share aggregation (use "
+                        "'sparse')")
+                from cognn_tpu.engine.gas import _pick_bcsr_kernel
+
+                agg_operands = {"bcsr_kernel": _pick_bcsr_kernel(m)}
         elif aggregation == "sparse":
             agg_operands = {}
         else:
@@ -610,6 +637,58 @@ class MpcGasEngine:
         plan = self.plan
         V, M, P = plan.V, plan.M, plan.num_parties
         D = sh.shape[-1]
+
+        if self._bcsr_sharded_meta is not None:
+            # sharded MXU path: each party runs its own [V x P*V] byte-plane
+            # block-sparse SpMM (f32-exact per SOURCE party, guard at init),
+            # recombines to ring, ships per-peer V-row chunks over the halo
+            # collective, and ring-adds the P partial share sums — the
+            # multi-chip twin of the stacked `_bcsr_agg_shares`.
+            from cognn_tpu.ops.bcsr import BLOCK
+            from cognn_tpu.ops.pallas_spmm import _spmm_call, _tiled_call
+
+            S, L = sh.shape[:2]
+            Pl = sh.shape[2]
+            interp = jax.default_backend() != "tpu"
+            meta = self._bcsr_sharded_meta
+
+            def one(i):
+                ht = _expand_byte_planes(sh[:, :, i], jnp.float32)
+                Dp = ht.shape[0]  # S*L*4*D, a multiple of 8
+                if meta[0] == "tiled":
+                    _, G, C, Cd, nsc, ndc, nsb, ndb = meta
+                    ht_p = jnp.pad(ht, ((0, 0), (0, nsc * C * BLOCK - V)))
+                    ht3 = ht_p.reshape(Dp, -1, BLOCK).swapaxes(0, 1)
+                    out3 = _tiled_call(arr.agg["bcsr_t_first"][i],
+                                       arr.agg["bcsr_t_oi"][i],
+                                       arr.agg["bcsr_t_hi"][i],
+                                       arr.agg["bcsr_t_bil"][i],
+                                       arr.agg["bcsr_t_bjl"][i], ht3,
+                                       arr.agg["bcsr_t_vals"][i],
+                                       G, C, Cd, ndc, True, interp)
+                    out = out3.swapaxes(0, 1).reshape(Dp, -1)[:, :P * V]
+                else:
+                    _, nsb, ndb = meta
+                    ht_p = jnp.pad(ht, ((0, 0), (0, nsb * BLOCK - V)))
+                    out = _spmm_call(arr.agg["bcsr_first"][i],
+                                     arr.agg["bcsr_bi"][i],
+                                     arr.agg["bcsr_bj"][i], ht_p,
+                                     arr.agg["bcsr_vals"][i], ndb,
+                                     interp)[:, :P * V]
+                return _recombine_byte_planes(
+                    out.T.reshape(P * V, S * L * 4, D), S, L)
+
+            upd = jnp.stack([one(i) for i in range(Pl)], axis=2)
+            send = upd.reshape(S, L, Pl, P, V, D)
+            recv = comm.halo(send)  # [S, L, Pl, P, V, D]
+            total = recv[:, :, :, 0]
+            for j in range(1, P):
+                total = self.proto.add(total, recv[:, :, :, j])
+            agg = self.proto.add(sh, total)
+            if dest_scale:
+                key, k = jax.random.split(key)
+                agg = self._scale_rows(k, agg, n0_fp)
+            return agg
 
         if arr.agg:
             # MXU paths: the whole pipeline is one exact byte-plane matmul

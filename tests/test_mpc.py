@@ -197,6 +197,36 @@ def test_dense_mpc_total_indeg_guard():
         MpcGasEngine(build_device_plan(graphs), param, aggregation="dense")
 
 
+@pytest.mark.parametrize("tiled", [False, True])
+def test_sharded_bcsr_mpc_matches_stacked_sparse(tiled):
+    """Sharded (multi-chip) byte-plane block-sparse share aggregation —
+    per-party SpMM partial sums -> ring recombine -> halo -> ring-add —
+    is an exact ring sum: bit-identical to stacked sparse training. Both
+    kernel variants (one-block and supertiled) covered."""
+    from unittest import mock
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    src, dst, feats, labels = make_dataset(n=40, m=200, homophily=0.7)
+    param = make_param(40, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    stacked = MpcGasEngine(build_device_plan(graphs), param)
+    mesh = jax.make_mesh((2,), ("party",))
+    threshold = 1 if tiled else 10**9
+    with mock.patch("cognn_tpu.engine.gas.BCSR_TILED_NNZB", threshold):
+        sharded = MpcGasEngine(build_device_plan(graphs), param,
+                               mode="sharded", mesh=mesh,
+                               aggregation="bcsr")
+    assert (sharded._bcsr_sharded_meta[0] == "tiled") == tiled
+    ms = stacked.metrics_host(stacked.run_epochs(2))
+    mh = sharded.metrics_host(sharded.run_epochs(2))
+    np.testing.assert_array_equal(mh["loss"], ms["loss"])
+    for l in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(sharded.reveal_weights()[l])),
+            stacked.reveal_weights()[l])
+
+
 def test_mpc_auto_backend_selection():
     """aggregation='auto' resolves to the measured-best backend under the
     byte-plane exactness guards: sparse off-TPU / sharded, dense under
