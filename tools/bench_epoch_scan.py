@@ -34,6 +34,9 @@ def main():
                     help="secret-shared engine, per-epoch phase dispatches")
     ap.add_argument("--reorder", action="store_true",
                     help="BFS-reorder vertices (bcsr block locality)")
+    ap.add_argument("--forward", action="store_true",
+                    help="benchmark the opt_inference forward pass "
+                         "instead of training epochs")
     ap.add_argument("--epochs-budget", type=float, default=0.5,
                     help="minimum honest wall window in seconds")
     args = ap.parse_args()
@@ -79,35 +82,48 @@ def main():
         except ValueError as e:
             log(f"[{agg}] skipped: {e}")
             continue
+        variant = "opt_inference" if args.forward else "opt"
         if mpc:
             from cognn_tpu.mpc import MpcGasEngine
 
             if agg not in ("sparse", "dense", "bcsr"):
                 log(f"[{agg}] skipped: mpc supports sparse/dense/bcsr")
                 continue
-            eng = MpcGasEngine(plan, ds.param, "opt", aggregation=agg)
+            eng = MpcGasEngine(plan, ds.param, variant, aggregation=agg)
             sync_arr = lambda: eng.weights_sh[0]  # noqa: E731
-            if args.mpc_phase:
+            if args.forward:
+                run = lambda: eng.forward()  # noqa: E731
+                per_call = 1
+            elif args.mpc_phase:
                 run = lambda: eng.run_epoch()  # noqa: E731
                 per_call = 1
             else:
                 run = lambda: eng.run_epochs_scan(args.scan)  # noqa: E731
                 per_call = args.scan
         else:
-            eng = GasEngine(plan, ds.param, "opt", aggregation=agg)
+            eng = GasEngine(plan, ds.param, variant, aggregation=agg)
             sync_arr = lambda: eng.weights[0]  # noqa: E731
-            run = lambda: eng.run_epochs_scan(args.scan)  # noqa: E731
-            per_call = args.scan
+            if args.forward:
+                run = lambda: eng.forward()  # noqa: E731
+                per_call = 1
+            else:
+                run = lambda: eng.run_epochs_scan(args.scan)  # noqa: E731
+                per_call = args.scan
+        def sync(m):
+            # forward: fetch from the pass's own output (weights don't
+            # change); training: fetch updated weights
+            hard_sync(m[0] if args.forward else sync_arr())
+
         t0 = time.perf_counter()
         m = run()
-        hard_sync(sync_arr())
+        sync(m)
         log(f"[{agg}] compile+first call: {time.perf_counter() - t0:.2f}s")
         reps = 1
         while True:
             t0 = time.perf_counter()
             for _ in range(reps):
                 m = run()
-            hard_sync(sync_arr())
+            sync(m)
             dt = time.perf_counter() - t0
             if dt >= args.epochs_budget or reps >= 512:
                 break
@@ -115,6 +131,11 @@ def main():
                                 int(reps * 1.2 * args.epochs_budget
                                     / max(dt, 1e-6))))
         per_epoch = dt / (reps * per_call)
+        if args.forward:
+            eps = eng.L * len(ds.src) / per_epoch
+            log(f"[{agg}] forward pass {per_epoch*1e6:.0f} us  "
+                f"({reps} x {per_call})  edge-iters/s {eps:.3g}")
+            continue
         eps = eng.epoch_layers * len(ds.src) / per_epoch
         loss = np.asarray(m["loss"])
         loss = loss[0, -1] if loss.ndim == 2 else loss[0]
