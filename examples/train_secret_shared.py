@@ -17,6 +17,10 @@ import numpy as np  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--aggregation", default="auto",
+                    choices=["auto", "sparse", "dense", "bcsr"],
+                    help="OGA backend (auto = measured-best; the MXU "
+                         "backends are bit-identical to sparse)")
     args = ap.parse_args()
 
     from cognn_tpu.engine import GasEngine, build_device_plan
@@ -35,7 +39,8 @@ def main():
         graphs.append(g)
 
     plain = GasEngine(build_device_plan(graphs), ds.param)
-    mpc = MpcGasEngine(build_device_plan(graphs), ds.param)
+    mpc = MpcGasEngine(build_device_plan(graphs), ds.param,
+                       aggregation=args.aggregation)
     mp = plain.metrics_host(plain.run_epochs(args.epochs))
     mm = mpc.metrics_host(mpc.run_epochs(args.epochs))
     print(f"plaintext:     loss={mp['loss'][0]:.4f} "
