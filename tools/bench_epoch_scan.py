@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--forward", action="store_true",
                     help="benchmark the opt_inference forward pass "
                          "instead of training epochs")
+    ap.add_argument("--variant", default="opt", choices=["opt", "unopt"],
+                    help="training schedule (unopt = original CoGNN, "
+                         "2L-phase epochs)")
     ap.add_argument("--epochs-budget", type=float, default=0.5,
                     help="minimum honest wall window in seconds")
     args = ap.parse_args()
@@ -82,7 +85,7 @@ def main():
         except ValueError as e:
             log(f"[{agg}] skipped: {e}")
             continue
-        variant = "opt_inference" if args.forward else "opt"
+        variant = "opt_inference" if args.forward else args.variant
         if mpc:
             from cognn_tpu.mpc import MpcGasEngine
 
