@@ -55,15 +55,22 @@ def _buffer_bytes(eqn) -> int:
     return total
 
 
-def traced_collective_bytes(fn, *args, axis_size: int) -> Dict[str, float]:
-    """Per-party bytes sent by one invocation of ``fn(*args)``.
+def traced_collectives(fn, *args, axis_size: int) -> Dict[str, Dict[str, float]]:
+    """Per-party wire bytes AND collective round counts of one invocation
+    of ``fn(*args)``.
 
     ``fn`` may be jitted and contain shard_map/scan/cond — the walk descends
-    into every sub-jaxpr, multiplying scan bodies by their trip count.
-    Returns {collective: bytes, ..., "total": bytes}.
+    into every sub-jaxpr, multiplying scan bodies by their trip count. A
+    "round" is one collective primitive in the compiled program: each is a
+    synchronization point whose cost scales with interconnect latency (the
+    TPU-native counterpart of the reference's interactive 2PC rounds, whose
+    duration-vs-latency behavior Tables 1/2 of the paper measure).
+    Returns {"bytes": {collective: b, ..., "total": b},
+             "rounds": {collective: n, ..., "total": n}}.
     """
     jaxpr = jax.make_jaxpr(fn)(*args)
     out: Dict[str, float] = {}
+    rounds: Dict[str, float] = {}
 
     def walk(jx, mult):
         for eqn in jx.eqns:
@@ -74,6 +81,7 @@ def traced_collective_bytes(fn, *args, axis_size: int) -> Dict[str, float]:
             if name in _FACTORS:
                 b = _buffer_bytes(eqn) * _FACTORS[name](axis_size) * mult
                 out[name] = out.get(name, 0.0) + b
+                rounds[name] = rounds.get(name, 0.0) + mult
             for v in eqn.params.values():
                 for item in (v if isinstance(v, (list, tuple)) else [v]):
                     if hasattr(item, "eqns"):  # open Jaxpr
@@ -83,26 +91,73 @@ def traced_collective_bytes(fn, *args, axis_size: int) -> Dict[str, float]:
 
     walk(jaxpr.jaxpr, 1)
     out["total"] = sum(out.values())
-    return out
+    rounds["total"] = sum(rounds.values())
+    return {"bytes": out, "rounds": rounds}
 
 
-def engine_epoch_bytes(engine, kind: str = "epoch") -> Dict[str, float]:
-    """Traced per-party collective bytes of one training epoch (or forward
-    pass, ``kind="forward"``) of a SHARDED engine (plaintext GasEngine or
-    MpcGasEngine)."""
+def traced_collective_bytes(fn, *args, axis_size: int) -> Dict[str, float]:
+    """Per-party bytes sent by one invocation of ``fn(*args)`` (the bytes
+    half of :func:`traced_collectives`)."""
+    return traced_collectives(fn, *args, axis_size=axis_size)["bytes"]
+
+
+def engine_epoch_comm(engine, kind: str = "epoch"
+                      ) -> Dict[str, Dict[str, float]]:
+    """Traced per-party collective bytes + rounds of one training epoch (or
+    forward pass, ``kind="forward"``) of a SHARDED engine (plaintext
+    GasEngine or MpcGasEngine)."""
     if engine.mode != "sharded":
         raise ValueError("traced comm accounting needs a sharded engine")
     P = engine.P
     if hasattr(engine, "weights_sh"):  # MpcGasEngine
         fn = engine._epoch if kind == "epoch" else engine._forward
-        return traced_collective_bytes(
+        return traced_collectives(
             lambda *a: fn(*a), engine._key, engine.arr,
             engine.weights_sh, engine.x0_sh, engine.n0_fp,
             engine.inv_train_fp, axis_size=P)
     fn = engine._epoch if kind == "epoch" else engine._forward
-    return traced_collective_bytes(
+    return traced_collectives(
         lambda *a: fn(*a), engine.arr, engine.weights,
         engine.x0, engine._agg_data, axis_size=P)
+
+
+def engine_epoch_bytes(engine, kind: str = "epoch") -> Dict[str, float]:
+    """Bytes half of :func:`engine_epoch_comm` (compat surface)."""
+    return engine_epoch_comm(engine, kind)["bytes"]
+
+
+# the reference's simulated-network grid (`tools/tmp_run_cluster.py:23-29`,
+# `tools/scripts/setup_network.sh:32-39`)
+REFERENCE_BANDWIDTHS_MBIT = (200, 400, 1000, 4000)
+REFERENCE_LATENCIES_MS = (0.15, 1.0, 10.0, 20.0)
+
+
+def predict_epoch_duration(compute_s: float, bytes_per_epoch: float,
+                           rounds_per_epoch: float, bandwidth_mbit: float,
+                           latency_ms: float) -> float:
+    """Predicted epoch duration on an interconnect with the given per-link
+    bandwidth and one-way latency:
+
+        duration = compute + wire_bytes*8/bandwidth + rounds*latency
+
+    This is the counterpart of the reference's Tables 1/2 (epoch duration
+    under the tc htb/netem grid): per-party wire bytes come from the traced
+    collectives of the sharded program, and every collective primitive is
+    one latency-bound synchronization round. It deliberately assumes no
+    compute/comm overlap (an upper bound, matching how the netem delay
+    serializes the reference's interactive 2PC rounds)."""
+    return (compute_s + bytes_per_epoch * 8.0 / (bandwidth_mbit * 1e6)
+            + rounds_per_epoch * latency_ms * 1e-3)
+
+
+def duration_grid(compute_s: float, bytes_per_epoch: float,
+                  rounds_per_epoch: float,
+                  bandwidths=REFERENCE_BANDWIDTHS_MBIT,
+                  latencies=REFERENCE_LATENCIES_MS):
+    """{(bw_mbit, lat_ms): predicted seconds} over the reference grid."""
+    return {(bw, lat): predict_epoch_duration(
+        compute_s, bytes_per_epoch, rounds_per_epoch, bw, lat)
+        for bw in bandwidths for lat in latencies}
 
 
 def _opt_agg_dims(dims) -> list:
@@ -144,11 +199,40 @@ def analytic_bytes_per_epoch(plan, param, variant: str = "opt",
                 else _opt_agg_dims(dims))
     if variant == "opt_inference":
         agg_dims = [dims[l + 1] for l in range(len(dims) - 1)]
+    elif variant == "unopt_inference":
+        # original-gcn forward aggregates in the INPUT width per layer
+        agg_dims = [dims[l] for l in range(len(dims) - 1)]
     halo_rows = plan.M if aggregation == "sparse" else plan.V
     elem = 8 * limbs if mpc else 4
     a2a = float(sum((P - 1) * halo_rows * d * elem for d in agg_dims))
     w_elems = sum(dims[i] * dims[i + 1] for i in range(len(dims) - 1))
     psum_elem = 16 * limbs if mpc else 4  # share planes vs f32
-    psum = (0.0 if variant == "opt_inference"
+    psum = (0.0 if variant.endswith("inference")
             else 2.0 * (P - 1) / P * w_elems * psum_elem)
     return {"all_to_all": a2a, "psum": psum, "total": a2a + psum}
+
+
+def analytic_rounds_per_epoch(param, variant: str = "opt",
+                              mpc: bool = False,
+                              limbs: int = 2) -> Dict[str, float]:
+    """Closed-form collective ROUND counts per training epoch, matching the
+    sharded engines' compiled programs exactly (pinned to the traced counts
+    by tests/test_comm.py). Each GAS aggregation issues ONE halo
+    ``all_to_all``; each per-layer weight average issues one ``pmean`` psum
+    in plaintext, or 2 shares x ``limbs`` x 2 sixteen-bit-plane psums in
+    share space (`mpc/engine.py::_ring_psum_shares`)."""
+    dims = param.layer_dims
+    L = len(dims) - 1
+    agg_dims = (_unopt_agg_dims(dims) if variant == "unopt"
+                else _opt_agg_dims(dims))
+    if variant == "opt_inference":
+        agg_dims = [dims[l + 1] for l in range(L)]
+    elif variant == "unopt_inference":
+        agg_dims = [dims[l] for l in range(L)]
+    n_agg = len(agg_dims)
+    if variant.endswith("inference"):
+        n_psum = 0
+    else:
+        n_psum = L * (2 * limbs * 2 if mpc else 1)
+    return {"all_to_all": float(n_agg), "psum": float(n_psum),
+            "total": float(n_agg + n_psum)}

@@ -164,7 +164,8 @@ def flat_dense_adjacency(plan: DevicePlan) -> np.ndarray:
     return flat
 
 
-def select_backend(plan: DevicePlan, mode: str) -> str:
+def select_backend(plan: DevicePlan, mode: str,
+                   backend: Optional[str] = None) -> str:
     """``aggregation="auto"`` policy — pick the measured-best backend.
 
     Measured on one TPU v5e (tools/bench_spmm.py + GOLDEN.md): the XLA
@@ -173,13 +174,22 @@ def select_backend(plan: DevicePlan, mode: str) -> str:
     ``DENSE_ADJ_BUDGET`` (Cora-scale: 462M -> 1.85B edge-iters/s going
     sparse -> dense); above that the Pallas block-sparse SpMM (bcsr) wins
     (PubMed 4p: 3.53 ms vs 10.5 ms sparse epochs; the supertiled kernel
-    streams at 690 GB/s). On CPU and in sharded mode the sparse path
-    stays the default: CPU has no descriptor bottleneck (and keeps
-    golden runs bit-stable), and the sharded collective layouts are
-    validated per-backend explicitly.
+    streams at 690 GB/s). Sharded mode on TPU picks the per-party bcsr
+    SpMM (the layout MULTIHOST.md recommends; parity-pinned vs stacked by
+    tests/test_engine.py) — sharded dense would need a dense=True plan and
+    ships the same V-row halo for more FLOPs. On CPU the sparse path stays
+    the default: no descriptor bottleneck, and it keeps golden runs
+    bit-stable.
+
+    ``backend`` overrides the platform probe (e.g. to resolve the policy
+    for an intended TPU deployment while tracing on a CPU mesh).
     """
-    if mode != "stacked" or jax.default_backend() != "tpu":
+    if backend is None:
+        backend = jax.default_backend()
+    if backend != "tpu":
         return "sparse"
+    if mode != "stacked":
+        return "bcsr"
     P, V = plan.num_parties, plan.V
     from cognn_tpu.engine.plan import DENSE_ADJ_BUDGET
 
@@ -314,7 +324,8 @@ class GasEngine:
                  variant: str = "opt", dtype=jnp.float32,
                  mode: str = "stacked", mesh: Optional[jax.sharding.Mesh] = None,
                  seed: int = 42, aggregation: str = "auto"):
-        if variant not in ("opt", "opt_inference", "unopt"):
+        if variant not in ("opt", "opt_inference", "unopt",
+                           "unopt_inference"):
             raise ValueError(variant)
         set_split(plan, param.train_ratio, param.val_ratio)
         self.plan = plan
@@ -602,11 +613,14 @@ class GasEngine:
 
     # ------------------------------------------------------------------
     def _forward_body(self, comm, arr: _PlanArrays, weights, x0, agg=None):
-        """Inference: L forward phases; returns (logits, prob, metrics)."""
+        """Inference: L forward phases; returns (logits, prob, metrics).
+        ``unopt_inference`` = the original-gcn forward schedule run with
+        maxIters=2 (reference `tmp_run_cluster.py:417-435`): aggregation
+        in the full input width before the matmul."""
         h = x0
         n0 = norm0(arr.in_deg)[..., None]
         for l in range(self.L):
-            if self.variant == "unopt":
+            if self.variant.startswith("unopt"):
                 if l != 0:
                     h = h * n0
                 h = self._aggregate(comm, arr, h, dest_scale=True,
@@ -625,7 +639,7 @@ class GasEngine:
     # ------------------------------------------------------------------
     def _epoch_body(self, comm, arr: _PlanArrays, weights, x0, agg=None):
         """One full training epoch (3L or 2L phases) as straight-line code."""
-        if self.variant == "unopt":
+        if self.variant.startswith("unopt"):
             return self._epoch_unopt(comm, arr, weights, x0, agg)
         return self._epoch_opt(comm, arr, weights, x0, agg)
 

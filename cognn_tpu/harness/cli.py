@@ -55,10 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("gnn_config_file")
     # TPU-native extensions
     p.add_argument("--variant",
-                   choices=["opt", "unopt", "inference", "ss"],
+                   choices=["opt", "unopt", "inference", "unopt-inference",
+                            "ss"],
                    default="opt",
                    help="ss = the reference's gcn-ss build: the unopt "
-                        "(fused original-style) schedule in share space")
+                        "(fused original-style) schedule in share space; "
+                        "unopt-inference = the original-gcn forward run "
+                        "with maxIters=2 (reference "
+                        "tmp_run_cluster.py:417-435)")
     p.add_argument("--mpc", action="store_true",
                    help="secret-shared execution (additive shares, Z_2^64)")
     p.add_argument("--mode", choices=["stacked", "sharded"], default="stacked")
@@ -105,5 +109,6 @@ def to_run_config(args: argparse.Namespace) -> RunConfig:
         ring_bits=args.ring_bits,
         scaler_bits=args.scaler_bits,
         variant={"inference": "opt_inference",
+                 "unopt-inference": "unopt_inference",
                  "ss": "unopt"}.get(args.variant, args.variant),
     )

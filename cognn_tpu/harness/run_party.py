@@ -155,7 +155,7 @@ def main(argv=None) -> int:
         print(f"profiling to {args.jax_profile}")
 
     epoch_layers = engine.epoch_layers
-    if cfg.variant == "opt_inference":
+    if cfg.variant.endswith("inference"):
         with duration_span("iteration"):
             z, prob, metrics = engine.forward()
         print_metrics_reference_format(engine.metrics_host(metrics),

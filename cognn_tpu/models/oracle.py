@@ -127,7 +127,8 @@ class GasOracle:
 
     def __init__(self, graphs: List[PartyGraph], param: GNNParam,
                  variant: str = "opt", verbose: bool = False):
-        if variant not in ("opt", "opt_inference", "unopt"):
+        if variant not in ("opt", "opt_inference", "unopt",
+                           "unopt_inference"):
             raise ValueError(f"unknown variant {variant}")
         self.graphs = graphs
         self.param = param
@@ -135,7 +136,7 @@ class GasOracle:
         self.verbose = verbose
         self.n = len(graphs)
         self.L = param.num_layers
-        if variant in ("opt", "opt_inference"):
+        if variant.startswith("opt"):
             self.epoch_layers = 3 * self.L
         else:
             self.epoch_layers = 2 * self.L
@@ -244,7 +245,7 @@ class GasOracle:
 
     # ------------------------------------------------------------------
     def iteration(self) -> None:
-        if self.variant in ("opt", "opt_inference"):
+        if self.variant.startswith("opt"):
             self._iteration_opt()
         else:
             self._iteration_unopt()

@@ -41,30 +41,46 @@ from cognn_tpu.utils.glibc_rand import glorot_init
 _U32 = jnp.uint32
 
 
-def _select_mpc_backend(plan: DevicePlan, mode: str) -> str:
+def _select_mpc_backend(plan: DevicePlan, mode: str,
+                        backend: str | None = None) -> str:
     """``aggregation="auto"`` policy for the secret-shared engine — the
     plaintext `select_backend` policy constrained by the byte-plane
     exactness guards (edge multiplicity <= 256 and 255 * max total
     in-edges < 2^24; outside them only the carry-free sparse OGA is
-    exact). Measured (GOLDEN.md, one v5e): scan-compiled mpc Cora epochs
-    sparse 5.5 ms / bcsr 0.87 ms / dense 0.62 ms."""
-    if mode != "stacked" or jax.default_backend() != "tpu":
+    exact). In sharded mode each party's f32 partial sums recombine to
+    ring BEFORE the cross-party ring-add, so the mantissa bound applies
+    per SOURCE party (the same guard the bcsr init enforces). Measured
+    (GOLDEN.md, one v5e): scan-compiled mpc Cora epochs sparse 5.5 ms /
+    bcsr 0.87 ms / dense 0.62 ms; PubMed 4p sparse 75.9 ms / bcsr
+    6.25 ms."""
+    if backend is None:
+        backend = jax.default_backend()
+    if backend != "tpu":
         return "sparse"
     from cognn_tpu.engine.gas import _party_edges
     from cognn_tpu.engine.plan import DENSE_ADJ_BUDGET
 
     P, V = plan.num_parties, plan.V
-    pairs = []
+    mult = 0
+    max_in_party = 0  # per-source-party destination in-edge max
+    dst_all = []
     for p in range(P):
         s, d = _party_edges(plan, p)
-        pairs.append((p * V + s) * np.int64(P * V) + d)
-    pairs = np.concatenate(pairs) if pairs else np.zeros(0, np.int64)
-    if len(pairs):
-        mult = int(np.unique(pairs, return_counts=True)[1].max())
-        max_in = int(np.bincount(pairs % (P * V),
-                                 minlength=P * V).max())
-        if mult > 256 or max_in * 255 >= (1 << 24):
-            return "sparse"
+        if not len(d):
+            continue
+        dst_all.append(d)
+        pair = (p * V + s) * np.int64(P * V) + d
+        mult = max(mult, int(np.unique(pair, return_counts=True)[1].max()))
+        max_in_party = max(max_in_party, int(np.bincount(d).max()))
+    if mult > 256:
+        return "sparse"
+    if mode != "stacked":
+        # sharded bcsr: guards per source party
+        return "sparse" if max_in_party * 255 >= (1 << 24) else "bcsr"
+    max_in = (int(np.bincount(np.concatenate(dst_all)).max())
+              if dst_all else 0)
+    if max_in * 255 >= (1 << 24):
+        return "sparse"
     if P * P * V * V <= DENSE_ADJ_BUDGET:
         return "dense"
     return "bcsr"
@@ -259,8 +275,9 @@ class MpcGasEngine:
                  truncation: str = "exact", seed: int = 42,
                  prng_seed: int = 0, mode: str = "stacked",
                  mesh=None, compile_mode: str = "phase",
-                 aggregation: str = "sparse"):
-        if variant not in ("opt", "opt_inference", "unopt"):
+                 aggregation: str = "auto"):
+        if variant not in ("opt", "opt_inference", "unopt",
+                           "unopt_inference"):
             raise ValueError(variant)
         set_split(plan, param.train_ratio, param.val_ratio)
         if aggregation == "auto":
@@ -389,7 +406,7 @@ class MpcGasEngine:
             self._forward = self._build_sharded(self._forward_body)
             self._place_sharded()
         elif compile_mode == "phase":
-            if variant == "unopt":
+            if variant.startswith("unopt"):
                 self._build_phase_jits_unopt()
                 self._epoch = self._epoch_phased_unopt
             else:
@@ -780,15 +797,28 @@ class MpcGasEngine:
     # ------------------------------------------------------------------
     def _forward_body(self, comm, key, arr, weights_sh, x0_sh, n0_fp,
                       inv_train_fp):
+        """L forward phases in share space. ``unopt_inference`` runs the
+        original-gcn schedule (aggregate in input width, then matmul —
+        reference `tmp_run_cluster.py:417-435`); opt variants matmul into
+        hidden width first."""
         h = x0_sh
         z_last = None
+        unopt = self.variant.startswith("unopt")
         for l in range(self.L):
             key, k1, k2 = jax.random.split(key, 3)
-            h = self._pmatmul(k1, h, weights_sh[l])
-            if l != 0:
-                h = self._scale_rows(k2, h, n0_fp)
-            key, k3 = jax.random.split(key)
-            h = self._aggregate(comm, k3, arr, n0_fp, h, dest_scale=True)
+            if unopt:
+                if l != 0:
+                    h = self._scale_rows(k2, h, n0_fp)
+                key, k3 = jax.random.split(key)
+                h = self._aggregate(comm, k3, arr, n0_fp, h, dest_scale=True)
+                h = self._pmatmul(k1, h, weights_sh[l])
+            else:
+                h = self._pmatmul(k1, h, weights_sh[l])
+                if l != 0:
+                    h = self._scale_rows(k2, h, n0_fp)
+                key, k3 = jax.random.split(key)
+                h = self._aggregate(comm, k3, arr, n0_fp, h,
+                                    dest_scale=True)
             z_last = h
             if l != self.L - 1:
                 h = self.proto.relu(h)
@@ -799,7 +829,7 @@ class MpcGasEngine:
     # ------------------------------------------------------------------
     def _epoch_body(self, comm, key, arr, weights_sh, x0_sh, n0_fp,
                     inv_train_fp):
-        if self.variant == "unopt":
+        if self.variant.startswith("unopt"):
             return self._epoch_unopt(comm, key, arr, weights_sh, x0_sh,
                                      n0_fp, inv_train_fp)
         return self._epoch_opt(comm, key, arr, weights_sh, x0_sh, n0_fp,

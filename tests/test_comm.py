@@ -75,6 +75,52 @@ def test_mpc_traced_matches_analytic_and_hand_computed():
     np.testing.assert_allclose(traced["psum"], wavg, rtol=1e-9)
 
 
+@pytest.mark.parametrize("mpc", [False, True])
+@pytest.mark.parametrize("variant", ["opt", "unopt"])
+def test_traced_rounds_match_analytic(mpc, variant):
+    """Collective ROUND counts (the latency axis of the duration-vs-network
+    model, reference Tables 1/2): traced == analytic == hand-computed."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs devices")
+    from cognn_tpu.engine.comm_model import (analytic_rounds_per_epoch,
+                                             engine_epoch_comm)
+
+    plan, param, eng = _setup(2, mpc=mpc, variant=variant)
+    traced = engine_epoch_comm(eng)["rounds"]
+    analytic = analytic_rounds_per_epoch(param, variant, mpc=mpc, limbs=2)
+    for k in ("all_to_all", "psum", "total"):
+        np.testing.assert_allclose(traced[k], analytic[k], err_msg=k)
+    # hand computation, L=2 layers: one halo all_to_all per GAS aggregation
+    # (opt epoch: 3L-2 = 4 aggregations; unopt: 2L-2+... = L fwd + L-1 bwd
+    # = 3); one weight average per layer per epoch = 2, each riding 1 pmean
+    # psum in plaintext or 2 shares x 2 limbs x 2 planes = 8 psums in
+    # share space.
+    exp_a2a = 4 if variant == "opt" else 3
+    exp_psum = 2 * (8 if mpc else 1)
+    assert traced["all_to_all"] == exp_a2a
+    assert traced["psum"] == exp_psum
+
+
+def test_duration_grid_reference_shape():
+    """The predicted-duration grid covers the reference's bandwidth/latency
+    matrix (`tmp_run_cluster.py:23-29`) and decomposes as
+    compute + bytes/bw + rounds*latency."""
+    from cognn_tpu.engine.comm_model import (REFERENCE_BANDWIDTHS_MBIT,
+                                             REFERENCE_LATENCIES_MS,
+                                             duration_grid)
+
+    grid = duration_grid(compute_s=0.01, bytes_per_epoch=5e6,
+                         rounds_per_epoch=20)
+    assert len(grid) == 16
+    assert set(bw for bw, _ in grid) == set(REFERENCE_BANDWIDTHS_MBIT)
+    assert set(lat for _, lat in grid) == set(REFERENCE_LATENCIES_MS)
+    np.testing.assert_allclose(
+        grid[(400, 10.0)], 0.01 + 5e6 * 8 / 400e6 + 20 * 10e-3)
+    # monotone: more bandwidth never hurts, more latency never helps
+    assert grid[(4000, 0.15)] == min(grid.values())
+    assert grid[(200, 20.0)] == max(grid.values())
+
+
 def test_scan_loop_bytes_scale_with_epochs():
     """The jaxpr walk multiplies scan bodies by trip count: a 7-epoch
     scan-compiled loop accounts exactly 7x one epoch."""

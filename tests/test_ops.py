@@ -67,10 +67,17 @@ class TestDenseAggregation:
         big_v = int(np.sqrt(DENSE_ADJ_BUDGET)) + 1
         big = types.SimpleNamespace(num_parties=1, V=big_v)
         assert gas_mod.select_backend(small, "stacked") == "sparse"  # CPU
+        assert gas_mod.select_backend(small, "sharded") == "sparse"
         monkeypatch.setattr(gas_mod.jax, "default_backend", lambda: "tpu")
         assert gas_mod.select_backend(small, "stacked") == "dense"
         assert gas_mod.select_backend(big, "stacked") == "bcsr"
-        assert gas_mod.select_backend(small, "sharded") == "sparse"
+        # sharded on TPU picks the per-party bcsr SpMM (MULTIHOST.md path)
+        assert gas_mod.select_backend(small, "sharded") == "bcsr"
+        # explicit backend override resolves without touching the platform
+        assert gas_mod.select_backend(small, "sharded",
+                                      backend="tpu") == "bcsr"
+        assert gas_mod.select_backend(small, "stacked",
+                                      backend="cpu") == "sparse"
 
 
 class TestRingMatmul:

@@ -85,7 +85,8 @@ def main():
         except ValueError as e:
             log(f"[{agg}] skipped: {e}")
             continue
-        variant = "opt_inference" if args.forward else args.variant
+        variant = (args.variant + "_inference" if args.forward
+                   else args.variant)
         if mpc:
             from cognn_tpu.mpc import MpcGasEngine
 

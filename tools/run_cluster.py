@@ -66,15 +66,32 @@ def build_graphs(ds, n_parties, fedgnn=False):
     return graphs
 
 
-def traced_comm_bytes(plan, param, variant, mpc, n_parties, aggregation):
-    """Measured per-party collective bytes per epoch: trace the SHARDED
-    training program's jaxpr over a CPU device mesh (works even when the
-    default backend is a single TPU chip — tracing runs no device code) and
-    account each collective's wire bytes. Returns None when fewer than
-    ``n_parties`` CPU devices exist (bump JAX_NUM_CPU_DEVICES)."""
+def resolve_sharded_backend(plan, mpc, aggregation):
+    """The backend the SHARDED (multi-chip) deployment of this run would
+    use: an explicit choice passes through; "auto" resolves with the
+    sharded-TPU policy (the intended deployment target — tracing itself
+    runs on a CPU mesh and executes no device code)."""
+    if aggregation != "auto":
+        return aggregation
+    if mpc:
+        from cognn_tpu.mpc.engine import _select_mpc_backend
+
+        return _select_mpc_backend(plan, "sharded", backend="tpu")
+    from cognn_tpu.engine.gas import select_backend
+
+    return select_backend(plan, "sharded", backend="tpu")
+
+
+def traced_comm(plan, param, variant, mpc, n_parties, aggregation):
+    """Measured per-party collective bytes AND rounds per epoch: trace the
+    SHARDED training program's jaxpr over a CPU device mesh (works even
+    when the default backend is a single TPU chip — tracing runs no device
+    code) with the backend the run is actually configured for. Returns
+    None when fewer than ``n_parties`` CPU devices exist (bump
+    JAX_NUM_CPU_DEVICES)."""
     import jax
 
-    from cognn_tpu.engine.comm_model import engine_epoch_bytes
+    from cognn_tpu.engine.comm_model import engine_epoch_comm
 
     if n_parties < 2:
         return None
@@ -87,31 +104,57 @@ def traced_comm_bytes(plan, param, variant, mpc, n_parties, aggregation):
             from cognn_tpu.mpc import MpcGasEngine
 
             eng = MpcGasEngine(plan, param, variant, mode="sharded",
-                               mesh=mesh)
+                               mesh=mesh, aggregation=aggregation)
         else:
             eng = GasEngine(plan, param, variant, mode="sharded", mesh=mesh,
-                            aggregation=aggregation
-                            if aggregation in ("sparse", "dense") else
-                            "sparse")
-        kind = "forward" if variant == "opt_inference" else "epoch"
-        return engine_epoch_bytes(eng, kind)
+                            aggregation=aggregation)
+        kind = "forward" if variant.endswith("inference") else "epoch"
+        return engine_epoch_comm(eng, kind)
     except Exception as e:  # noqa: BLE001
         print(f"(comm tracing unavailable: {e})", file=sys.stderr)
         return None
 
 
+def _hard_sync(x):
+    """Close a dispatch window with a data-dependent value fetch (the
+    tunnel's block_until_ready returns early — CLAUDE.md)."""
+    import jax.numpy as jnp
+
+    return float(np.asarray(jnp.sum(jnp.asarray(x, jnp.float32))))
+
+
+TIME_BUDGET_S = 0.5  # minimum honest wall window (chained dispatches)
+MAX_TIMING_REPS = 4096
+
+
 def run_training(ds, n_parties, epochs, variant, mpc, setting,
-                 fedgnn=False, log_root=Path("log"), comm_root=Path("comm")):
+                 fedgnn=False, log_root=Path("log"), comm_root=Path("comm"),
+                 aggregation="auto", reorder=False,
+                 time_budget=TIME_BUDGET_S):
+    """One evaluation run: scan-compiled training (or a forward pass),
+    honest chained-dispatch timing, reference-format per-epoch logs, and a
+    backend-correct ``.comm`` payload.
+
+    Timing discipline (the reference's logs ARE its profile,
+    `README.md:238-250`; ours must be equally trustworthy on the tunneled
+    TPU): the whole ``epochs``-epoch run is ONE ``run_epochs_scan``
+    program; if its wall time is under ``time_budget`` the scan is
+    re-issued (doubling reps) until the window is honest, and the
+    per-epoch duration is window / (reps * epochs). The logged metrics
+    come from the first scan — extra reps only advance weights."""
     import jax
 
     graphs = build_graphs(ds, n_parties, fedgnn=fedgnn)
-    plan = build_device_plan(graphs)
+    plan = build_device_plan(graphs, reorder=reorder)
     if mpc:
         from cognn_tpu.mpc import MpcGasEngine
 
-        engine = MpcGasEngine(plan, ds.param, variant)
+        engine = MpcGasEngine(plan, ds.param, variant,
+                              aggregation=aggregation)
+        sync_arr = lambda: engine.weights_sh[0]  # noqa: E731
     else:
-        engine = GasEngine(plan, ds.param, variant)
+        engine = GasEngine(plan, ds.param, variant, aggregation=aggregation)
+        sync_arr = lambda: engine.weights[0]  # noqa: E731
 
     logdir = log_root / setting
     logdir.mkdir(parents=True, exist_ok=True)
@@ -122,45 +165,83 @@ def run_training(ds, n_parties, epochs, variant, mpc, setting,
         logs[p].write(line + "\n")
 
     epoch_layers = engine.epoch_layers
-    if variant == "opt_inference":
-        t0 = time.perf_counter()
+    if variant.endswith("inference"):
         z, prob, metrics = engine.forward()
-        jax.block_until_ready(prob)
-        dt = time.perf_counter() - t0
+        _hard_sync(prob)  # compile + first dispatch
+        reps, dt = 1, 0.0
+        while True:
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                z, prob, _ = engine.forward()
+            _hard_sync(prob)
+            dt = time.perf_counter() - t0
+            if dt >= time_budget or reps >= MAX_TIMING_REPS:
+                break
+            reps = min(MAX_TIMING_REPS,
+                       max(reps * 2,
+                           int(reps * 1.2 * time_budget / max(dt, 1e-6))))
+        per_fwd = dt / reps
         m = engine.metrics_host(metrics)
+        n_phases = engine.L  # 2 schedule iterations per inference (L=2)
         for p in range(n_parties):
-            emit(p, f"::iteration took {dt:.6f}")
+            for _ in range(n_phases):
+                emit(p, f"::iteration took {per_fwd / n_phases:.6f}")
             _emit_metrics(emit, p, m, graphs[p])
     else:
-        for e in range(epochs):
+        metrics = engine.run_epochs_scan(epochs)  # compile + trajectory
+        _hard_sync(sync_arr())
+        reps, dt = 1, 0.0
+        while True:
             t0 = time.perf_counter()
-            metrics = engine.run_epoch()
-            jax.block_until_ready(
-                engine.weights_sh if mpc else engine.weights)
+            for _ in range(reps):
+                engine.run_epochs_scan(epochs)
+            _hard_sync(sync_arr())
             dt = time.perf_counter() - t0
-            m = engine.metrics_host(metrics)
+            if dt >= time_budget or reps >= MAX_TIMING_REPS:
+                break
+            reps = min(MAX_TIMING_REPS,
+                       max(reps * 2,
+                           int(reps * 1.2 * time_budget / max(dt, 1e-6))))
+        per_epoch = dt / (reps * epochs)
+        m = engine.metrics_host(metrics)  # [P, epochs] per metric
+        for e in range(epochs):
+            me = {k: v[:, e] for k, v in m.items()}
             for p in range(n_parties):
                 emit(p, f"tid-> {p}, iteration-> {(e + 1) * epoch_layers}")
                 # one span per schedule iteration, as the reference logs
                 for _ in range(epoch_layers):
-                    emit(p, f"::iteration took {dt / epoch_layers:.6f}")
-                _emit_metrics(emit, p, m, graphs[p])
+                    emit(p, f"::iteration took "
+                            f"{per_epoch / epoch_layers:.6f}")
+                _emit_metrics(emit, p, me, graphs[p])
     for f in logs:
         f.close()
 
     commdir = comm_root / setting
     commdir.mkdir(parents=True, exist_ok=True)
-    from cognn_tpu.engine.comm_model import analytic_bytes_per_epoch
+    from cognn_tpu.engine.comm_model import (analytic_bytes_per_epoch,
+                                             analytic_rounds_per_epoch)
 
-    analytic = analytic_bytes_per_epoch(plan, ds.param, variant, mpc=mpc)
-    traced = traced_comm_bytes(plan, ds.param, variant, mpc, n_parties,
-                               "sparse")
-    per_epoch = (traced or analytic)["total"]
-    n_ep = 1 if variant == "opt_inference" else max(epochs, 1)
-    total_mb = per_epoch * n_ep / 1e6
+    backend = resolve_sharded_backend(plan, mpc, aggregation)
+    analytic = analytic_bytes_per_epoch(plan, ds.param, variant, mpc=mpc,
+                                        aggregation=backend)
+    traced = traced_comm(plan, ds.param, variant, mpc, n_parties, backend)
+    per_epoch_b = (traced["bytes"] if traced else analytic)["total"]
+    n_ep = 1 if variant.endswith("inference") else max(epochs, 1)
+    total_mb = per_epoch_b * n_ep / 1e6
     payload = {"sent_MB": total_mb, "recv_MB": total_mb,
                "measured": traced is not None,
-               "per_epoch_bytes": traced or analytic,
+               # what the numbers DESCRIBE: per-party collective wire bytes
+               # of the sharded (multi-party) program with this backend.
+               # The run above executed mode=stacked (single chip); its
+               # backend may differ (recorded as run_backend).
+               "backend": backend,
+               "mode": "sharded",
+               "run_backend": engine.aggregation,
+               "run_mode": engine.mode,
+               "per_epoch_bytes": traced["bytes"] if traced else analytic,
+               "per_epoch_rounds": (traced["rounds"] if traced else
+                                    analytic_rounds_per_epoch(
+                                        ds.param, variant, mpc=mpc)),
                "analytic_per_epoch_bytes": analytic}
     for p in range(n_parties):
         (commdir / f"{ds.name.lower()}_{p}.comm").write_text(
@@ -187,6 +268,11 @@ def main():
     ap.add_argument("--cognn-unopt-accuracy", action="store_true")
     ap.add_argument("--cognn-opt-efficiency", action="store_true")
     ap.add_argument("--cognn-opt-inference", action="store_true")
+    ap.add_argument("--cognn-unopt-inference", action="store_true",
+                    help="original-gcn forward run with maxIters=2 "
+                         "(reference tmp_run_cluster.py:417-435)")
+    ap.add_argument("--cognn-unopt-efficiency", action="store_true",
+                    help="scaler subsets with the unopt (2L) schedule")
     ap.add_argument("--fedgnn", action="store_true")
     ap.add_argument("--graphsc", action="store_true",
                     help="emit the GraphSC baseline row of the evaluation "
@@ -204,6 +290,12 @@ def main():
                     choices=["cora", "citeseer", "pubmed", "cora_small"])
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--parties", type=int, nargs="+", default=None)
+    ap.add_argument("--aggregation", default="auto",
+                    choices=["auto", "sparse", "dense", "bcsr"],
+                    help="aggregation backend for the runs AND the traced "
+                         "comm accounting (auto = measured-best per scale)")
+    ap.add_argument("--reorder", action="store_true",
+                    help="BFS-reorder local vertices (bcsr block locality)")
     ap.add_argument("--planetoid-root", default=None, metavar="DIR",
                     help="directory with real Planetoid raw files "
                          "(ind.<dataset>.*); falls back to the synthetic "
@@ -219,21 +311,26 @@ def main():
     else:
         ds = synthetic_planetoid(args.dataset)
 
+    import functools
+
+    run_training_cfg = functools.partial(
+        run_training, aggregation=args.aggregation, reorder=args.reorder)
+
     if args.smallest_cognn_efficiency:
         t0 = time.perf_counter()
-        run_training(ds, 2, args.epochs or 2, "opt", args.mpc,
-                     "smallest_efficiency")
+        run_training_cfg(ds, 2, args.epochs or 2, "opt", args.mpc,
+                         "smallest_efficiency")
         print(f"smallest test took {time.perf_counter() - t0:.1f}s "
               f"(reference: ~1 min)")
     if args.cognn_opt_accuracy:
         for p in (args.parties or [2, 3, 4, 5]):
-            run_training(ds, p, args.epochs or 90, "opt", args.mpc,
-                         f"opt_accuracy_{p}p")
+            run_training_cfg(ds, p, args.epochs or 90, "opt", args.mpc,
+                             f"opt_accuracy_{p}p")
             print(f"opt accuracy {p} parties done")
     if args.cognn_unopt_accuracy:
         for p in (args.parties or [2, 3, 4, 5]):
-            run_training(ds, p, args.epochs or 90, "unopt", False,
-                         f"unopt_accuracy_{p}p")
+            run_training_cfg(ds, p, args.epochs or 90, "unopt", args.mpc,
+                             f"unopt_accuracy_{p}p")
             print(f"unopt accuracy {p} parties done")
     if args.cognn_opt_efficiency:
         for k in (args.parties or [2, 3, 4, 5]):
@@ -247,19 +344,39 @@ def main():
                 ds, src=ds.src[mask], dst=ds.dst[mask],
                 features=ds.features[:keep_n], labels=ds.labels[:keep_n])
             t0 = time.perf_counter()
-            run_training(sub, k, args.epochs or 1, "opt", args.mpc,
-                         f"opt_efficiency_{k}s")
+            run_training_cfg(sub, k, args.epochs or 1, "opt", args.mpc,
+                             f"opt_efficiency_{k}s")
             print(f"opt efficiency {k}s ({keep_n} vertices, {k} parties): "
                   f"{time.perf_counter() - t0:.1f}s")
+    if args.cognn_unopt_efficiency:
+        for k in (args.parties or [2, 3, 4, 5]):
+            n = len(ds.features)
+            keep_n = sum(len(b) for b in np.array_split(np.arange(n), 5)[:k])
+            import dataclasses
+
+            mask = (ds.src < keep_n) & (ds.dst < keep_n)
+            sub = dataclasses.replace(
+                ds, src=ds.src[mask], dst=ds.dst[mask],
+                features=ds.features[:keep_n], labels=ds.labels[:keep_n])
+            t0 = time.perf_counter()
+            run_training_cfg(sub, k, args.epochs or 1, "unopt", args.mpc,
+                             f"unopt_efficiency_{k}s")
+            print(f"unopt efficiency {k}s ({keep_n} vertices, {k} parties):"
+                  f" {time.perf_counter() - t0:.1f}s")
     if args.cognn_opt_inference:
-        run_training(ds, 2, 1, "opt_inference", args.mpc, "opt_inference")
+        run_training_cfg(ds, 2, 1, "opt_inference", args.mpc,
+                         "opt_inference")
         print("inference done")
+    if args.cognn_unopt_inference:
+        run_training_cfg(ds, 2, 1, "unopt_inference", args.mpc,
+                         "unopt_inference")
+        print("unopt inference done")
     if args.fedgnn:
         # one run per party count, like the reference's fed-gcn sweep
         # (`tmp_run_cluster.py:309-331`)
         for p in (args.parties or [2, 3, 4, 5]):
-            run_training(ds, p, args.epochs or 90, "opt", False,
-                         f"fedgnn_{p}p", fedgnn=True)
+            run_training_cfg(ds, p, args.epochs or 90, "opt", False,
+                             f"fedgnn_{p}p", fedgnn=True)
             print(f"fedgnn {p} parties done")
     if args.graphsc:
         # the reference's GraphSC eval sweeps scaler subsets ks with k
@@ -286,7 +403,8 @@ def main():
             print(f"graphsc model {k}s: n={keep_n} m={m_k} "
                   f"{per_epoch/1e9:.3f} GB/epoch (analytic)")
     if args.plaintext:
-        run_training(ds, 1, args.epochs or 90, "opt", False, "plaintext")
+        run_training_cfg(ds, 1, args.epochs or 90, "opt", False,
+                         "plaintext")
         print("plaintext done")
 
 
