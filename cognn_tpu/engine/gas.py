@@ -165,7 +165,9 @@ def flat_dense_adjacency(plan: DevicePlan) -> np.ndarray:
 
 
 def select_backend(plan: DevicePlan, mode: str,
-                   backend: Optional[str] = None) -> str:
+                   backend: Optional[str] = None,
+                   param: Optional[GNNParam] = None,
+                   variant: str = "opt") -> str:
     """``aggregation="auto"`` policy — pick the measured-best backend.
 
     Measured on one TPU v5e (tools/bench_spmm.py + GOLDEN.md): the XLA
@@ -182,23 +184,34 @@ def select_backend(plan: DevicePlan, mode: str,
     bit-stable.
 
     ``backend`` overrides the platform probe (e.g. to resolve the policy
-    for an intended TPU deployment while tracing on a CPU mesh).
+    for an intended TPU deployment while tracing on a CPU mesh). When
+    ``param`` is given, bcsr is vetoed (-> sparse) if the variant's
+    aggregation width makes the supertile VMEM-infeasible
+    (:func:`bcsr_supertile_c` — e.g. unopt message-passing at full input
+    width on PubMed-scale structures).
     """
     if backend is None:
         backend = jax.default_backend()
     if backend != "tpu":
         return "sparse"
+
+    def bcsr_ok():
+        if param is None:
+            return True
+        rows = -(-agg_width(param, variant) // 8) * 8
+        return bcsr_supertile_c(rows) >= 4
+
     if mode != "stacked":
-        return "bcsr"
+        return "bcsr" if bcsr_ok() else "sparse"
     P, V = plan.num_parties, plan.V
     from cognn_tpu.engine.plan import DENSE_ADJ_BUDGET
 
     if P * P * V * V <= DENSE_ADJ_BUDGET:
         return "dense"
-    return "bcsr"
+    return "bcsr" if bcsr_ok() else "sparse"
 
 
-def _build_bcsr_stacked(plan: DevicePlan):
+def _build_bcsr_stacked(plan: DevicePlan, rhs_rows: int = 8):
     """Flatten all parties' real edge slots into one global (P*V)^2 BCSR
     matrix (stacked mode: the halo exchange is part of the block
     structure). Returns (agg_data dict, (n_src_blocks, n_dst_blocks)).
@@ -218,34 +231,80 @@ def _build_bcsr_stacked(plan: DevicePlan):
         dsts.append(d)
     n = P * V
     m = build_bcsr(np.concatenate(srcs), np.concatenate(dsts), n, n)
-    return {"bcsr_kernel": _pick_bcsr_kernel(m)}, \
+    return {"bcsr_kernel": _pick_bcsr_kernel(m, rhs_rows)}, \
         (m.n_src_blocks, m.n_dst_blocks)
 
 
 BCSR_TILED_NNZB = 1024  # supertile the SpMM at/above this block count
+# bytes per supertile operand (src or dst tile); 2 MiB reproduces both
+# TPU-validated configs: C=128 @ 16 RHS rows, C=16 @ 256 byte-plane rows
+VMEM_TILE_BUDGET = 2 << 20
 
 
-def _pick_bcsr_kernel(m):
+def bcsr_supertile_c(rhs_rows: int) -> int:
+    """Supertile extent C (in 128-blocks) for an SpMM whose RHS is
+    ``rhs_rows`` rows: the largest power of two <= 128 whose f32 tile
+    [rhs_rows, C*128] fits ``VMEM_TILE_BUDGET``; 0 when even C=1 cannot
+    fit (the supertiled kernel is then structurally VMEM-infeasible).
+
+    Measured (tools/bench_spmm.py, 1 GB regime, rhs_rows=16): time falls
+    monotonically 16 -> 1.70 ms, 64 -> 1.63, 128 -> 1.57 (716 GB/s, 1.16x
+    off the ideal roofline) as run padding shrinks, then collapses at 256
+    (26 ms — tiles exceed VMEM). The formula reproduces both measured
+    optima: rhs_rows=16 -> C=128; byte-plane shares rhs_rows=256 -> C=16
+    (the r3 default that sustains 690 GB/s)."""
+    c = VMEM_TILE_BUDGET // (max(rhs_rows, 1) * 128 * 4)
+    if c < 1:
+        return 0
+    return min(128, 1 << (int(c).bit_length() - 1))
+
+
+def agg_width(param: GNNParam, variant: str) -> int:
+    """Maximum feature width any GAS aggregation of ``variant`` runs at —
+    hidden/label space for opt (the paper's core optimization), the full
+    input width for unopt (original-gcn message-passes pre-matmul)."""
+    from cognn_tpu.engine.comm_model import _opt_agg_dims, _unopt_agg_dims
+
+    dims = param.layer_dims
+    if variant == "opt_inference":
+        return max(dims[l + 1] for l in range(len(dims) - 1))
+    if variant == "unopt_inference":
+        return max(dims[l] for l in range(len(dims) - 1))
+    return max(_unopt_agg_dims(dims) if variant == "unopt"
+               else _opt_agg_dims(dims))
+
+
+def _pick_bcsr_kernel(m, rhs_rows: int = 8):
     """Measured-best Pallas SpMM variant for a BCSR structure (TPU v5e,
     tools/bench_spmm.py): the one-block-per-step kernel pipelines fine on
     small streams but collapses to ~33 us/step DMA latency at GB-scale
-    streams; the supertiled G=32 variant runs those at 690 GB/s sustained
-    (1.30x off the ideal HBM roofline) for +9% stream padding."""
+    streams; the supertiled G=32 variant streams those at 700+ GB/s with
+    supertile extent C sized to the RHS width by :func:`bcsr_supertile_c`
+    (raises when the width is VMEM-infeasible — callers fall back to the
+    sparse OGA)."""
     from cognn_tpu.ops.pallas_spmm import PallasSpmm, PallasSpmmTiled
 
     if m.nnzb >= BCSR_TILED_NNZB:
-        return PallasSpmmTiled(m, G=32, C=16, Cd=16)
+        c = bcsr_supertile_c(rhs_rows)
+        if c < 4:
+            raise ValueError(
+                f"bcsr supertiles for a {rhs_rows}-row RHS do not fit VMEM "
+                "(aggregation width too large for the byte-plane/supertile "
+                "layout at this scale); use aggregation='sparse'")
+        return PallasSpmmTiled(m, G=32, C=c, Cd=c)
     return PallasSpmm(m)
 
 
-def _build_bcsr_sharded(plan: DevicePlan):
+def _build_bcsr_sharded(plan: DevicePlan, rhs_rows: int = 8):
     """Per-party BCSR over (local V src) x (global P*V dst), padded to a
     uniform shape so ONE shard_map program serves every party. Uses the
     same measured-best kernel policy as stacked mode: the supertiled
     variant when any party's structure reaches ``BCSR_TILED_NNZB``
-    (group-padded to a uniform count), the one-block kernel below it.
-    Returns (agg_data dict of [P, ...] arrays, (n_src_blocks,
-    n_dst_blocks) or a tiled-meta tuple)."""
+    (group-padded to a uniform count; supertile extent C sized to
+    ``rhs_rows`` by :func:`bcsr_supertile_c`, raising when VMEM-infeasible
+    like ``_pick_bcsr_kernel``), the one-block kernel below it. Returns
+    (agg_data dict of [P, ...] arrays, (n_src_blocks, n_dst_blocks) or a
+    tiled-meta tuple)."""
     from cognn_tpu.ops.bcsr import BLOCK, build_bcsr
     from cognn_tpu.ops.pallas_spmm import PallasSpmm, PallasSpmmTiled
 
@@ -258,7 +317,12 @@ def _build_bcsr_sharded(plan: DevicePlan):
     n_dst_blocks = ms[0].n_dst_blocks
 
     if max(m.nnzb for m in ms) >= BCSR_TILED_NNZB:
-        ks = [PallasSpmmTiled(m, G=32, C=16, Cd=16, interpret=True)
+        c = bcsr_supertile_c(rhs_rows)
+        if c < 4:
+            raise ValueError(
+                f"bcsr supertiles for a {rhs_rows}-row RHS do not fit "
+                "VMEM; use aggregation='sparse'")
+        ks = [PallasSpmmTiled(m, G=32, C=c, Cd=c, interpret=True)
               for m in ms]
         ng = max(len(np.asarray(k.first)) for k in ks)
         cols = {a: [] for a in ("first", "oi", "hi", "bil", "bjl", "vals")}
@@ -343,7 +407,8 @@ class GasEngine:
         # device under shard_map); stacked-mode backends stay closures.
         self._agg_data: Dict[str, jnp.ndarray] = {}
         if aggregation == "auto":
-            aggregation = select_backend(plan, mode)
+            aggregation = select_backend(plan, mode, param=param,
+                                         variant=variant)
         if aggregation == "dense":
             if mode == "sharded":
                 if plan.dense_adj is None:
@@ -359,10 +424,13 @@ class GasEngine:
                     flat_dense_adjacency(plan), dtype)
         self._bcsr_blocks = None
         if aggregation == "bcsr":
+            rhs_rows = -(-agg_width(param, variant) // 8) * 8
             if mode == "sharded":
-                self._agg_data, self._bcsr_blocks = _build_bcsr_sharded(plan)
+                self._agg_data, self._bcsr_blocks = _build_bcsr_sharded(
+                    plan, rhs_rows)
             else:
-                data, self._bcsr_blocks = _build_bcsr_stacked(plan)
+                data, self._bcsr_blocks = _build_bcsr_stacked(plan,
+                                                              rhs_rows)
                 self._agg_data.update(data)
         self.aggregation = aggregation
         self.x0 = jnp.asarray(plan.features, dtype)

@@ -42,7 +42,10 @@ _U32 = jnp.uint32
 
 
 def _select_mpc_backend(plan: DevicePlan, mode: str,
-                        backend: str | None = None) -> str:
+                        backend: str | None = None,
+                        param: GNNParam | None = None,
+                        variant: str = "opt",
+                        limbs: int = 2) -> str:
     """``aggregation="auto"`` policy for the secret-shared engine — the
     plaintext `select_backend` policy constrained by the byte-plane
     exactness guards (edge multiplicity <= 256 and 255 * max total
@@ -57,8 +60,17 @@ def _select_mpc_backend(plan: DevicePlan, mode: str,
         backend = jax.default_backend()
     if backend != "tpu":
         return "sparse"
-    from cognn_tpu.engine.gas import _party_edges
+    from cognn_tpu.engine.gas import (_party_edges, agg_width,
+                                      bcsr_supertile_c)
     from cognn_tpu.engine.plan import DENSE_ADJ_BUDGET
+
+    def bcsr_ok():
+        # byte-plane RHS = 2 shares x limbs x 4 planes x width rows; veto
+        # bcsr when those supertiles cannot fit VMEM (wide unopt widths)
+        if param is None:
+            return True
+        return bcsr_supertile_c(2 * limbs * 4
+                                * agg_width(param, variant)) >= 4
 
     P, V = plan.num_parties, plan.V
     mult = 0
@@ -76,14 +88,16 @@ def _select_mpc_backend(plan: DevicePlan, mode: str,
         return "sparse"
     if mode != "stacked":
         # sharded bcsr: guards per source party
-        return "sparse" if max_in_party * 255 >= (1 << 24) else "bcsr"
+        if max_in_party * 255 >= (1 << 24) or not bcsr_ok():
+            return "sparse"
+        return "bcsr"
     max_in = (int(np.bincount(np.concatenate(dst_all)).max())
               if dst_all else 0)
     if max_in * 255 >= (1 << 24):
         return "sparse"
     if P * P * V * V <= DENSE_ADJ_BUDGET:
         return "dense"
-    return "bcsr"
+    return "bcsr" if bcsr_ok() else "sparse"
 
 
 def _segment_sum_shares(sh: jnp.ndarray, seg: jnp.ndarray,
@@ -281,7 +295,9 @@ class MpcGasEngine:
             raise ValueError(variant)
         set_split(plan, param.train_ratio, param.val_ratio)
         if aggregation == "auto":
-            aggregation = _select_mpc_backend(plan, mode)
+            aggregation = _select_mpc_backend(
+                plan, mode, param=param, variant=variant,
+                limbs=(fp or FixedPointSpec()).ring.limbs)
         self._bcsr_sharded_meta = None
         if aggregation == "dense":
             if mode != "stacked":
@@ -335,10 +351,13 @@ class MpcGasEngine:
                         raise ValueError(
                             "edge multiplicity > 256 breaks bf16 exactness "
                             "of the bcsr share aggregation")
-                from cognn_tpu.engine.gas import _build_bcsr_sharded
+                from cognn_tpu.engine.gas import (_build_bcsr_sharded,
+                                                  agg_width)
 
+                planes = 2 * (fp or FixedPointSpec()).ring.limbs * 4
                 agg_operands, self._bcsr_sharded_meta = \
-                    _build_bcsr_sharded(plan)
+                    _build_bcsr_sharded(
+                        plan, planes * agg_width(param, variant))
             else:
                 m = build_bcsr(np.concatenate(srcs), dsts_all,
                                Pn * Vn, Pn * Vn)
@@ -354,9 +373,12 @@ class MpcGasEngine:
                         "255 * count >= 2^24 overflows the f32 mantissa in "
                         "the bcsr byte-plane share aggregation (use "
                         "'sparse')")
-                from cognn_tpu.engine.gas import _pick_bcsr_kernel
+                from cognn_tpu.engine.gas import (_pick_bcsr_kernel,
+                                                  agg_width)
 
-                agg_operands = {"bcsr_kernel": _pick_bcsr_kernel(m)}
+                planes = 2 * (fp or FixedPointSpec()).ring.limbs * 4
+                agg_operands = {"bcsr_kernel": _pick_bcsr_kernel(
+                    m, planes * agg_width(param, variant))}
         elif aggregation == "sparse":
             agg_operands = {}
         else:

@@ -79,6 +79,37 @@ class TestDenseAggregation:
         assert gas_mod.select_backend(small, "stacked",
                                       backend="cpu") == "sparse"
 
+    def test_auto_backend_width_veto(self):
+        """bcsr supertiles must fit VMEM for the variant's aggregation
+        width: unopt message-passes at full input width, so wide-feature
+        datasets veto bcsr -> sparse (the opt schedule stays in hidden
+        space and keeps bcsr)."""
+        import types
+
+        from cognn_tpu.engine import gas as gas_mod
+        from cognn_tpu.engine.plan import DENSE_ADJ_BUDGET
+
+        big_v = int(np.sqrt(DENSE_ADJ_BUDGET)) + 1
+        big = types.SimpleNamespace(num_parties=1, V=big_v)
+        wide = make_param(64, 3703, 6, hidden=16)  # citeseer-ish widths
+        assert gas_mod.select_backend(big, "stacked", backend="tpu",
+                                      param=wide, variant="opt") == "bcsr"
+        assert gas_mod.select_backend(big, "stacked", backend="tpu",
+                                      param=wide,
+                                      variant="unopt") == "sparse"
+        assert gas_mod.select_backend(big, "sharded", backend="tpu",
+                                      param=wide,
+                                      variant="unopt_inference") == "sparse"
+        # supertile extent formula reproduces the TPU-validated configs
+        assert gas_mod.bcsr_supertile_c(16) == 128
+        assert gas_mod.bcsr_supertile_c(256) == 16
+        assert gas_mod.bcsr_supertile_c(8000) == 0
+        # byte-plane widths (2 shares x 2 limbs x 4 planes x W) hit the
+        # veto much earlier in mpc: pubmed unopt (W=500) is infeasible,
+        # the opt hidden width (W=16) keeps the r3-validated C=16
+        assert gas_mod.bcsr_supertile_c(2 * 2 * 4 * 500) == 0
+        assert gas_mod.bcsr_supertile_c(2 * 2 * 4 * 16) == 16
+
 
 class TestRingMatmul:
     @pytest.mark.parametrize("bits", [32, 64])

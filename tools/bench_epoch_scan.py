@@ -90,8 +90,8 @@ def main():
         if mpc:
             from cognn_tpu.mpc import MpcGasEngine
 
-            if agg not in ("sparse", "dense", "bcsr"):
-                log(f"[{agg}] skipped: mpc supports sparse/dense/bcsr")
+            if agg not in ("auto", "sparse", "dense", "bcsr"):
+                log(f"[{agg}] skipped: mpc supports auto/sparse/dense/bcsr")
                 continue
             eng = MpcGasEngine(plan, ds.param, variant, aggregation=agg)
             sync_arr = lambda: eng.weights_sh[0]  # noqa: E731

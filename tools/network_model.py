@@ -144,7 +144,8 @@ def main():
     graphs = build_graphs(ds, args.parties)
     plan = build_device_plan(graphs, reorder=args.reorder)
     for variant in args.variants.split(","):
-        backend = resolve_sharded_backend(plan, args.mpc, args.aggregation)
+        backend = resolve_sharded_backend(plan, args.mpc, args.aggregation,
+                                          param=ds.param, variant=variant)
         comm = traced_comm(plan, ds.param, variant, args.mpc, args.parties,
                            backend)
         if comm is None:

@@ -66,20 +66,24 @@ def build_graphs(ds, n_parties, fedgnn=False):
     return graphs
 
 
-def resolve_sharded_backend(plan, mpc, aggregation):
+def resolve_sharded_backend(plan, mpc, aggregation, param=None,
+                            variant="opt"):
     """The backend the SHARDED (multi-chip) deployment of this run would
     use: an explicit choice passes through; "auto" resolves with the
     sharded-TPU policy (the intended deployment target — tracing itself
-    runs on a CPU mesh and executes no device code)."""
+    runs on a CPU mesh and executes no device code), including the
+    aggregation-width VMEM veto when ``param`` is given."""
     if aggregation != "auto":
         return aggregation
     if mpc:
         from cognn_tpu.mpc.engine import _select_mpc_backend
 
-        return _select_mpc_backend(plan, "sharded", backend="tpu")
+        return _select_mpc_backend(plan, "sharded", backend="tpu",
+                                   param=param, variant=variant)
     from cognn_tpu.engine.gas import select_backend
 
-    return select_backend(plan, "sharded", backend="tpu")
+    return select_backend(plan, "sharded", backend="tpu", param=param,
+                          variant=variant)
 
 
 def traced_comm(plan, param, variant, mpc, n_parties, aggregation):
@@ -221,7 +225,8 @@ def run_training(ds, n_parties, epochs, variant, mpc, setting,
     from cognn_tpu.engine.comm_model import (analytic_bytes_per_epoch,
                                              analytic_rounds_per_epoch)
 
-    backend = resolve_sharded_backend(plan, mpc, aggregation)
+    backend = resolve_sharded_backend(plan, mpc, aggregation,
+                                      param=ds.param, variant=variant)
     analytic = analytic_bytes_per_epoch(plan, ds.param, variant, mpc=mpc,
                                         aggregation=backend)
     traced = traced_comm(plan, ds.param, variant, mpc, n_parties, backend)
