@@ -200,18 +200,15 @@ def write_config(ds: Dataset, out_dir: str | Path,
     return out
 
 
-def transform_by_parts(ds: Dataset, out_dir: str | Path,
-                       num_parts: int = 5, shuffle_seed: int = 42) -> Path:
-    """The reference's "scaler" subsets for efficiency scaling evals
-    (`tools/data_transform.py:67-139`): vertices split into ``num_parts``
-    contiguous blocks; subset ``ks`` = first k blocks with edges filtered to
-    both-endpoints-inside and block-index partition labels. Writes
-    ``<out>/<k>s/<name>.{vertex,edge,part}.preprocessed``.
-    """
-    from cognn_tpu.graph import (write_edge_list, write_partition_file,
-                                 write_vertex_file)
-
-    out = Path(out_dir)
+def scaler_subset(ds: Dataset, k: int, num_parts: int = 5,
+                  shuffle_seed: int = 42):
+    """The reference's "scaler" subset ``ks`` as an in-memory dataset
+    (`tools/data_transform.py:67-139`): vertices shuffled (fixed seed)
+    then split into ``num_parts`` contiguous blocks; subset = first k
+    blocks, edges filtered to both-endpoints-inside, party = block index.
+    Returns ``(sub_dataset, tid_map)``. This is the SAME computation
+    :func:`transform_by_parts` writes to ``<k>s/`` files, so driver runs
+    and file-based runs cannot drift."""
     n = len(ds.features)
     rng = np.random.default_rng(shuffle_seed)
     perm = rng.permutation(n)
@@ -219,23 +216,41 @@ def transform_by_parts(ds: Dataset, out_dir: str | Path,
     inv[perm] = np.arange(n)
     feats, labels = ds.features[perm], ds.labels[perm]
     src, dst = inv[ds.src], inv[ds.dst]
-    name = ds.name.lower()
     bounds = np.array_split(np.arange(n), num_parts)
-    for i in range(1, num_parts):
-        sub_n = sum(len(b) for b in bounds[: i + 1])
-        sub = out / f"{i + 1}s"
+    sub_n = sum(len(b) for b in bounds[:k])
+    keep = (src < sub_n) & (dst < sub_n)
+    tid = {}
+    off = 0
+    for bi, b in enumerate(bounds[:k]):
+        for v in range(off, off + len(b)):
+            tid[v] = bi
+        off += len(b)
+    sub = dataclasses.replace(ds, src=src[keep], dst=dst[keep],
+                              features=feats[:sub_n],
+                              labels=labels[:sub_n])
+    return sub, tid
+
+
+def transform_by_parts(ds: Dataset, out_dir: str | Path,
+                       num_parts: int = 5, shuffle_seed: int = 42) -> Path:
+    """The reference's "scaler" subsets for efficiency scaling evals
+    (`tools/data_transform.py:67-139`), written as
+    ``<out>/<k>s/<name>.{vertex,edge,part}.preprocessed`` — the file twin
+    of :func:`scaler_subset`."""
+    from cognn_tpu.graph import (write_edge_list, write_partition_file,
+                                 write_vertex_file)
+
+    out = Path(out_dir)
+    name = ds.name.lower()
+    for i in range(2, num_parts + 1):
+        sub_ds, part = scaler_subset(ds, i, num_parts, shuffle_seed)
+        sub = out / f"{i}s"
         sub.mkdir(parents=True, exist_ok=True)
         write_vertex_file(sub / f"{name}.vertex.preprocessed",
-                          np.arange(sub_n), feats[:sub_n], labels[:sub_n])
-        keep = (src < sub_n) & (dst < sub_n)
-        write_edge_list(sub / f"{name}.edge.preprocessed", src[keep],
-                        dst[keep])
-        part = {}
-        off = 0
-        for k, b in enumerate(bounds[: i + 1]):
-            for v in range(off, off + len(b)):
-                part[v] = k
-            off += len(b)
+                          np.arange(len(sub_ds.features)),
+                          sub_ds.features, sub_ds.labels)
+        write_edge_list(sub / f"{name}.edge.preprocessed", sub_ds.src,
+                        sub_ds.dst)
         write_partition_file(sub / f"{name}.part.preprocessed", part)
     return out
 

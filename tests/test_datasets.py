@@ -111,3 +111,31 @@ def test_loaded_dataset_trains(tmp_path):
     eng = GasEngine(build_device_plan(graphs), ds.param)
     m = GasEngine.metrics_host(eng.run_epoch())
     assert np.all(np.isfinite(m["loss"]))
+
+
+def test_scaler_subset_matches_files(tmp_path):
+    """The in-memory scaler_subset (driver path) and transform_by_parts
+    (file path) are the same computation — vertices, edges, and block
+    partition labels round-trip identically (VERDICT r3 hygiene: the
+    scaler files and in-memory subsets cannot drift)."""
+    import numpy as np
+
+    from cognn_tpu.graph import (read_edge_list, read_partition_file,
+                                 read_vertex_file)
+    from cognn_tpu.harness.datasets import (scaler_subset, synthetic_planetoid,
+                                            transform_by_parts)
+
+    ds = synthetic_planetoid("cora_small")
+    transform_by_parts(ds, tmp_path, num_parts=4)
+    for k in (2, 3, 4):
+        sub, tid = scaler_subset(ds, k, num_parts=4)
+        d = tmp_path / f"{k}s"
+        vid, feats, labels = read_vertex_file(
+            d / "cora_small.vertex.preprocessed", ds.param.input_dim)
+        np.testing.assert_array_equal(feats, sub.features)
+        np.testing.assert_array_equal(labels, sub.labels)
+        src, dst, _ = read_edge_list(d / "cora_small.edge.preprocessed")
+        np.testing.assert_array_equal(np.sort(src * 10**6 + dst),
+                                      np.sort(sub.src * 10**6 + sub.dst))
+        part = read_partition_file(d / "cora_small.part.preprocessed", k)
+        assert part == tid

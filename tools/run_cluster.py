@@ -33,14 +33,20 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# enough virtual CPU devices for the comm-tracing mesh — must run before
-# anything initializes a jax backend (tracing falls back to analytic if so)
+# Enough virtual CPU devices for the comm-tracing mesh — must run before
+# anything initializes a jax backend. Under the axon TPU hook this config
+# breaks the plugin registration, so there tracing runs in a CPU
+# subprocess instead (see traced_comm).
+import os  # noqa: E402
+
 import jax  # noqa: E402
 
-try:
-    jax.config.update("jax_num_cpu_devices", 8)
-except Exception:  # noqa: BLE001
-    pass
+_AXON_HOOK = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+if not _AXON_HOOK:
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:  # noqa: BLE001
+        pass
 
 from cognn_tpu.engine import GasEngine, build_device_plan  # noqa: E402
 from cognn_tpu.graph import build_party_graph  # noqa: E402
@@ -50,10 +56,12 @@ from cognn_tpu.harness.datasets import (  # noqa: E402
 )
 
 
-def build_graphs(ds, n_parties, fedgnn=False):
+def build_graphs(ds, n_parties, fedgnn=False, tid=None):
     n = len(ds.features)
     vids = np.arange(n)
-    tid = ({v: v % n_parties for v in range(n)} if n_parties > 1 else None)
+    if tid is None:
+        tid = ({v: v % n_parties for v in range(n)}
+               if n_parties > 1 else None)
     src, dst = ds.src, ds.dst
     if fedgnn and tid:
         src, dst = strip_cross_edges(src, dst, tid)
@@ -86,13 +94,70 @@ def resolve_sharded_backend(plan, mpc, aggregation, param=None,
                           variant=variant)
 
 
-def traced_comm(plan, param, variant, mpc, n_parties, aggregation):
+def _traced_comm_subprocess(ds, variant, mpc, n_parties, aggregation,
+                            reorder):
+    """Trace in a fresh CPU-only subprocess (used when this process runs
+    on the TPU, where the virtual-CPU-mesh config cannot be applied).
+    Ships the dataset through a temp npz + param json."""
+    import dataclasses
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as f:
+        path = f.name
+    try:
+        np.savez(path, src=ds.src, dst=ds.dst, features=ds.features,
+                 labels=ds.labels,
+                 param=json.dumps(dataclasses.asdict(ds.param)),
+                 name=ds.name,
+                 cfg=json.dumps({"variant": variant, "mpc": mpc,
+                                 "n_parties": n_parties,
+                                 "aggregation": aggregation,
+                                 "reorder": reorder}))
+        env = {**os.environ, "PALLAS_AXON_POOL_IPS": "",
+               "JAX_PLATFORMS": "cpu",
+               "JAX_NUM_CPU_DEVICES": str(max(8, n_parties))}
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--_trace-worker", path],
+            capture_output=True, text=True, timeout=900, env=env)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+        print(f"(subprocess comm tracing failed: {out.stderr[-400:]})",
+              file=sys.stderr)
+        return None
+    finally:
+        os.unlink(path)
+
+
+def _trace_worker(path):
+    """--_trace-worker entry: load the shipped dataset, trace, print
+    JSON."""
+    from cognn_tpu.config import GNNParam
+    from cognn_tpu.harness.datasets import Dataset
+
+    data = np.load(path, allow_pickle=False)
+    cfg = json.loads(str(data["cfg"]))
+    param = GNNParam(**json.loads(str(data["param"])))
+    ds = Dataset(name=str(data["name"]), src=data["src"], dst=data["dst"],
+                 features=data["features"], labels=data["labels"],
+                 param=param)
+    graphs = build_graphs(ds, cfg["n_parties"])
+    plan = build_device_plan(graphs, reorder=cfg["reorder"])
+    res = traced_comm(plan, param, cfg["variant"], cfg["mpc"],
+                      cfg["n_parties"], cfg["aggregation"], ds=None)
+    print(json.dumps(res))
+
+
+def traced_comm(plan, param, variant, mpc, n_parties, aggregation,
+                ds=None, reorder=False):
     """Measured per-party collective bytes AND rounds per epoch: trace the
     SHARDED training program's jaxpr over a CPU device mesh (works even
     when the default backend is a single TPU chip — tracing runs no device
-    code) with the backend the run is actually configured for. Returns
-    None when fewer than ``n_parties`` CPU devices exist (bump
-    JAX_NUM_CPU_DEVICES)."""
+    code) with the backend the run is actually configured for. Falls back
+    to a CPU subprocess (``ds`` provided) when this process cannot host
+    the virtual CPU mesh (axon TPU hook), and to None without it."""
     import jax
 
     from cognn_tpu.engine.comm_model import engine_epoch_comm
@@ -102,6 +167,9 @@ def traced_comm(plan, param, variant, mpc, n_parties, aggregation):
     try:
         cpus = jax.devices("cpu")
         if len(cpus) < n_parties:
+            if ds is not None:
+                return _traced_comm_subprocess(
+                    ds, variant, mpc, n_parties, aggregation, reorder)
             return None
         mesh = jax.sharding.Mesh(np.array(cpus[:n_parties]), ("party",))
         if mpc:
@@ -134,7 +202,7 @@ MAX_TIMING_REPS = 4096
 def run_training(ds, n_parties, epochs, variant, mpc, setting,
                  fedgnn=False, log_root=Path("log"), comm_root=Path("comm"),
                  aggregation="auto", reorder=False,
-                 time_budget=TIME_BUDGET_S):
+                 time_budget=TIME_BUDGET_S, tid_map=None):
     """One evaluation run: scan-compiled training (or a forward pass),
     honest chained-dispatch timing, reference-format per-epoch logs, and a
     backend-correct ``.comm`` payload.
@@ -148,7 +216,7 @@ def run_training(ds, n_parties, epochs, variant, mpc, setting,
     come from the first scan — extra reps only advance weights."""
     import jax
 
-    graphs = build_graphs(ds, n_parties, fedgnn=fedgnn)
+    graphs = build_graphs(ds, n_parties, fedgnn=fedgnn, tid=tid_map)
     plan = build_device_plan(graphs, reorder=reorder)
     if mpc:
         from cognn_tpu.mpc import MpcGasEngine
@@ -229,7 +297,8 @@ def run_training(ds, n_parties, epochs, variant, mpc, setting,
                                       param=ds.param, variant=variant)
     analytic = analytic_bytes_per_epoch(plan, ds.param, variant, mpc=mpc,
                                         aggregation=backend)
-    traced = traced_comm(plan, ds.param, variant, mpc, n_parties, backend)
+    traced = traced_comm(plan, ds.param, variant, mpc, n_parties, backend,
+                         ds=ds, reorder=reorder)
     per_epoch_b = (traced["bytes"] if traced else analytic)["total"]
     n_ep = 1 if variant.endswith("inference") else max(epochs, 1)
     total_mb = per_epoch_b * n_ep / 1e6
@@ -268,6 +337,8 @@ def _emit_metrics(emit, p, m, graph):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--_trace-worker", dest="trace_worker", default=None,
+                    help=argparse.SUPPRESS)
     ap.add_argument("--smallest-cognn-efficiency", action="store_true")
     ap.add_argument("--cognn-opt-accuracy", action="store_true")
     ap.add_argument("--cognn-unopt-accuracy", action="store_true")
@@ -307,6 +378,10 @@ def main():
                          "statistics-matched generator when absent")
     args = ap.parse_args()
 
+    if args.trace_worker:
+        _trace_worker(args.trace_worker)
+        return
+
     if args.planetoid_root:
         from cognn_tpu.harness.datasets import load_planetoid_raw
 
@@ -320,61 +395,57 @@ def main():
 
     run_training_cfg = functools.partial(
         run_training, aggregation=args.aggregation, reorder=args.reorder)
+    # mpc evals write under their own setting roots, like the reference's
+    # per-eval root paths (`tmp_run_cluster.py set_root_paths`)
+    mpc_tag = "mpc_" if args.mpc else ""
 
     if args.smallest_cognn_efficiency:
         t0 = time.perf_counter()
         run_training_cfg(ds, 2, args.epochs or 2, "opt", args.mpc,
-                         "smallest_efficiency")
+                         mpc_tag + "smallest_efficiency")
         print(f"smallest test took {time.perf_counter() - t0:.1f}s "
               f"(reference: ~1 min)")
     if args.cognn_opt_accuracy:
         for p in (args.parties or [2, 3, 4, 5]):
             run_training_cfg(ds, p, args.epochs or 90, "opt", args.mpc,
-                             f"opt_accuracy_{p}p")
+                             mpc_tag + f"opt_accuracy_{p}p")
             print(f"opt accuracy {p} parties done")
     if args.cognn_unopt_accuracy:
         for p in (args.parties or [2, 3, 4, 5]):
             run_training_cfg(ds, p, args.epochs or 90, "unopt", args.mpc,
-                             f"unopt_accuracy_{p}p")
+                             mpc_tag + f"unopt_accuracy_{p}p")
             print(f"unopt accuracy {p} parties done")
     if args.cognn_opt_efficiency:
-        for k in (args.parties or [2, 3, 4, 5]):
-            # scaler subset ks: first k/5 blocks of the graph, k parties
-            n = len(ds.features)
-            keep_n = sum(len(b) for b in np.array_split(np.arange(n), 5)[:k])
-            import dataclasses
+        from cognn_tpu.harness.datasets import scaler_subset
 
-            mask = (ds.src < keep_n) & (ds.dst < keep_n)
-            sub = dataclasses.replace(
-                ds, src=ds.src[mask], dst=ds.dst[mask],
-                features=ds.features[:keep_n], labels=ds.labels[:keep_n])
+        for k in (args.parties or [2, 3, 4, 5]):
+            # scaler subset ks (shared with transform_by_parts file
+            # outputs: same shuffle/blocks/party labels — cannot drift)
+            sub, tid = scaler_subset(ds, k)
             t0 = time.perf_counter()
             run_training_cfg(sub, k, args.epochs or 1, "opt", args.mpc,
-                             f"opt_efficiency_{k}s")
-            print(f"opt efficiency {k}s ({keep_n} vertices, {k} parties): "
-                  f"{time.perf_counter() - t0:.1f}s")
+                             mpc_tag + f"opt_efficiency_{k}s",
+                             tid_map=tid)
+            print(f"opt efficiency {k}s ({len(sub.features)} vertices, "
+                  f"{k} parties): {time.perf_counter() - t0:.1f}s")
     if args.cognn_unopt_efficiency:
-        for k in (args.parties or [2, 3, 4, 5]):
-            n = len(ds.features)
-            keep_n = sum(len(b) for b in np.array_split(np.arange(n), 5)[:k])
-            import dataclasses
+        from cognn_tpu.harness.datasets import scaler_subset
 
-            mask = (ds.src < keep_n) & (ds.dst < keep_n)
-            sub = dataclasses.replace(
-                ds, src=ds.src[mask], dst=ds.dst[mask],
-                features=ds.features[:keep_n], labels=ds.labels[:keep_n])
+        for k in (args.parties or [2, 3, 4, 5]):
+            sub, tid = scaler_subset(ds, k)
             t0 = time.perf_counter()
             run_training_cfg(sub, k, args.epochs or 1, "unopt", args.mpc,
-                             f"unopt_efficiency_{k}s")
-            print(f"unopt efficiency {k}s ({keep_n} vertices, {k} parties):"
-                  f" {time.perf_counter() - t0:.1f}s")
+                             mpc_tag + f"unopt_efficiency_{k}s",
+                             tid_map=tid)
+            print(f"unopt efficiency {k}s ({len(sub.features)} vertices, "
+                  f"{k} parties): {time.perf_counter() - t0:.1f}s")
     if args.cognn_opt_inference:
         run_training_cfg(ds, 2, 1, "opt_inference", args.mpc,
-                         "opt_inference")
+                         mpc_tag + "opt_inference")
         print("inference done")
     if args.cognn_unopt_inference:
         run_training_cfg(ds, 2, 1, "unopt_inference", args.mpc,
-                         "unopt_inference")
+                         mpc_tag + "unopt_inference")
         print("unopt inference done")
     if args.fedgnn:
         # one run per party count, like the reference's fed-gcn sweep
@@ -387,14 +458,13 @@ def main():
         # the reference's GraphSC eval sweeps scaler subsets ks with k
         # parties, 1 epoch = 4 iterations (`tmp_run_cluster.py:153-199`);
         # emit its analytic comm row per subset for the comparison plots
+        from cognn_tpu.harness.datasets import scaler_subset
+
         p = ds.param
         sum_dims = p.input_dim + 2 * p.hidden_dim  # unopt-space dims
-        n_all = len(ds.features)
         for k in (args.parties or [2, 3, 4, 5]):
-            keep_n = sum(len(b)
-                         for b in np.array_split(np.arange(n_all), 5)[:k])
-            mask = (ds.src < keep_n) & (ds.dst < keep_n)
-            m_k = int(mask.sum())
+            sub, _ = scaler_subset(ds, k)
+            keep_n, m_k = len(sub.features), len(sub.src)
             per_epoch = 8 * sum_dims * 10 * (keep_n + m_k)
             commdir = Path("comm") / f"graphsc_{k}s"
             commdir.mkdir(parents=True, exist_ok=True)
