@@ -289,7 +289,7 @@ class MpcGasEngine:
                  truncation: str = "exact", seed: int = 42,
                  prng_seed: int = 0, mode: str = "stacked",
                  mesh=None, compile_mode: str = "phase",
-                 aggregation: str = "auto"):
+                 aggregation: str = "auto", prng_impl: str = "auto"):
         if variant not in ("opt", "opt_inference", "unopt",
                            "unopt_inference"):
             raise ValueError(variant)
@@ -394,7 +394,22 @@ class MpcGasEngine:
         self.arr = _plan_arrays(plan, jnp.float32)
         self.arr = dataclasses.replace(self.arr, agg=agg_operands)
         _check_segment_widths(plan)
-        self._key = jax.random.key(prng_seed)
+        # Share-randomness PRNG. "auto" picks the hardware counter PRNG
+        # (XLA RngBitGenerator) on TPU for TRAINING variants —
+        # reshare/trunc generate ~100 MB of random per wide layer, and rbg
+        # cuts the scan-compiled mpc Cora epoch 543 -> 450 us. Inference
+        # variants keep threefry: rbg costs per-DISPATCH (measured 2.8 ->
+        # 10.1 ms/forward back-to-back), which single-forward serving pays
+        # but amortized training scans never see. Off-TPU stays threefry
+        # for bit-stable goldens. Exact-truncation values are
+        # key-independent, so oracle parity is unaffected; the sanctioned
+        # reconstruct-and-mask threat model (README "Numeric modes")
+        # accepts a counter PRG for share masks.
+        if prng_impl == "auto":
+            prng_impl = ("rbg" if jax.default_backend() == "tpu"
+                         and not variant.endswith("inference") else None)
+        self._key = (jax.random.key(prng_seed, impl=prng_impl)
+                     if prng_impl else jax.random.key(prng_seed))
         self.mode = mode
         self.mesh = mesh
         if mode == "sharded" and mesh is None:

@@ -77,13 +77,23 @@ def ring_matmul(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray,
         rs = jnp.sum(Ab.astype(jnp.int32), axis=-1)  # [n8, N]
         cs = jnp.sum(Bb.astype(jnp.int32), axis=-2)  # [n8, M]
         const = jnp.int32(128 * 128 * Ka)
+        # ALL B limb planes ride one wide RHS [Ka, n8*M]: each A plane is
+        # then streamed from HBM ONCE (n8 dots total instead of the naive
+        # n8*(n8+1)/2), and a narrow M (hidden=16) packs n8*M=128 output
+        # lanes instead of wasting 7/8 of the MXU tile. Measured (v5e,
+        # CiteSeer f=3703 share matmuls): the epoch's matmul cost is
+        # A-stream-bound, so fewer A reads dominate the wasted i+j>=n8
+        # products this also computes.
+        M = Bb.shape[-1]
+        Bcat = jnp.moveaxis(Bb, 0, 1).reshape(Ka, n8 * M)
         for i in range(n8):
+            dots = jax.lax.dot_general(
+                Ab[i], Bcat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)  # [N, n8*M]
+            dots = dots.reshape(dots.shape[0], n8, M)
             for j in range(n8 - i):
-                dot = jax.lax.dot_general(
-                    Ab[i], Bb[j], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                p = (dot + 128 * rs[i][:, None] + 128 * cs[j][None, :]
-                     + const)
+                p = (dots[:, j] + 128 * rs[i][:, None]
+                     + 128 * cs[j][None, :] + const)
                 contrib = _shift64(p, 8 * (i + j))  # (lo, hi) uint32
                 acc = contrib if acc is None else _ring_add2(acc, contrib)
     if bits == 32:
@@ -136,29 +146,37 @@ def ring_matmul_small(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray
         rs = jnp.sum(Ab.astype(jnp.int32), axis=-1)
         cs = jnp.sum(Bb.astype(jnp.int32), axis=-2)
         const = jnp.int32(128 * 128 * Ka)
-        for i in range(4):
-            for j in range(4):
-                dot = jax.lax.dot_general(
-                    Ab[i], Bb[j], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                p = dot + 128 * rs[i][:, None] + 128 * cs[j][None, :] + const
-                contrib = _shift64(p, 8 * (i + j))
-                acc = contrib if acc is None else _ring_add2(acc, contrib)
-        # sign-mask corrections (products < 256*K fit int32; only the low 32
-        # bits of the correction matter)
         sb_blk = sb[k0:k1]
         sa_blk = sa[..., k0:k1]
+        # One wide RHS [Ka, 4M+M]: the 4 B limb planes plus the B sign
+        # column — each A limb plane is streamed from HBM ONCE and serves
+        # all its products (4 main + its li sign term); with M=hidden=16
+        # the 5M=80 output columns pack one MXU lane tile instead of 16+8
+        # separate 16-lane dots. A-stream-bound at GCN shapes (f=3703).
+        M = Bb.shape[-1]
+        Bcat = jnp.concatenate(
+            [jnp.moveaxis(Bb, 0, 1).reshape(Ka, 4 * M), sb_blk], axis=-1)
+        sb_sum = 128 * jnp.sum(sb_blk.astype(jnp.int32), axis=0)[None, :]
         for i in range(4):
-            li = jax.lax.dot_general(
-                (A8[i, :, k0:k1] - 128).astype(jnp.int8), sb_blk,
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-            li = li + 128 * jnp.sum(sb_blk.astype(jnp.int32), axis=0)[None, :]
-            rj = jax.lax.dot_general(
-                sa_blk, (B8[i, k0:k1] - 128).astype(jnp.int8),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-            rj = rj + 128 * jnp.sum(sa_blk.astype(jnp.int32), axis=-1)[:, None]
-            term = (li + rj).astype(_U32) << _U32(8 * i)
+            dots = jax.lax.dot_general(
+                Ab[i], Bcat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)  # [N, 5M]
+            for j in range(4):
+                p = (dots[:, j * M:(j + 1) * M] + 128 * rs[i][:, None]
+                     + 128 * cs[j][None, :] + const)
+                contrib = _shift64(p, 8 * (i + j))
+                acc = contrib if acc is None else _ring_add2(acc, contrib)
+            li = dots[:, 4 * M:] + sb_sum  # == A8[i] @ sb
+            term = li.astype(_U32) << _U32(8 * i)
             corr = term if corr is None else corr + term
+        # s_a against all 4 B limb planes in one dot
+        rj_all = jax.lax.dot_general(
+            sa_blk, Bcat[:, :4 * M], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)  # [N, 4M]
+        sa_sum = 128 * jnp.sum(sa_blk.astype(jnp.int32), axis=-1)[:, None]
+        for i in range(4):
+            rj = rj_all[:, i * M:(i + 1) * M] + sa_sum
+            corr = corr + (rj.astype(_U32) << _U32(8 * i))
     # subtract 2^32 * corr (mod 2^64): only the hi limb is affected
     hi = acc[1] - corr
     return jnp.stack([acc[0], hi])

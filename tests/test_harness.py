@@ -105,12 +105,19 @@ def test_compile_cache_reuse(dataset_dir, tmp_path):
 
 def test_cluster_driver_and_plots(tmp_path):
     r = run([str(REPO / "tools/run_cluster.py"),
-             "--smallest-cognn-efficiency", "--dataset", "cora_small"],
+             "--smallest-cognn-efficiency", "--cognn-unopt-inference",
+             "--dataset", "cora_small"],
             cwd=tmp_path)
     assert r.returncode == 0, r.stderr
     log0 = tmp_path / "log/smallest_efficiency/gcn_test_cora_small_0.log"
     assert log0.exists()
     assert "::iteration took" in log0.read_text()
+    # the unopt-inference eval row (reference tmp_run_cluster.py:417-435)
+    ui = tmp_path / "log/unopt_inference/gcn_test_cora_small_0.log"
+    assert ui.exists() and "test set accuracy" in ui.read_text()
+    ui_comm = json.loads(
+        (tmp_path / "comm/unopt_inference/cora_small_0.comm").read_text())
+    assert ui_comm["per_epoch_rounds"]["all_to_all"] == 2  # L fwd aggs
     comm = tmp_path / "comm/smallest_efficiency/cora_small_0.comm"
     assert json.loads(comm.read_text())["sent_MB"] > 0
     r = run([str(REPO / "tools/plot/plot_accuracy.py"), str(log0),

@@ -360,6 +360,8 @@ def main():
                          "subsets, marked model-derived — durations are "
                          "not fabricated")
     ap.add_argument("--plaintext", action="store_true")
+    ap.add_argument("--all", dest="run_all", action="store_true",
+                    help="run every evaluation (reference --all)")
     ap.add_argument("--mpc", action="store_true",
                     help="secret-shared execution for the cognn evals")
     ap.add_argument("--dataset", default="cora",
@@ -381,6 +383,25 @@ def main():
     if args.trace_worker:
         _trace_worker(args.trace_worker)
         return
+
+    if args.run_all:
+        for f in ("smallest_cognn_efficiency", "cognn_opt_accuracy",
+                  "cognn_unopt_accuracy", "cognn_opt_efficiency",
+                  "cognn_unopt_efficiency", "cognn_opt_inference",
+                  "cognn_unopt_inference", "fedgnn", "graphsc",
+                  "plaintext"):
+            setattr(args, f, True)
+
+    # persistent XLA compile cache: repeat driver runs skip the tunnel
+    # compiles (the reference pairs each eval with a -no-preprocess rerun
+    # that reuses OT material, `tmp_run_cluster.py:274-283`; our analog)
+    try:
+        cache = Path(__file__).resolve().parent.parent / ".xla_cache"
+        cache.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:  # noqa: BLE001
+        print(f"(compile cache unavailable: {e})", file=sys.stderr)
 
     if args.planetoid_root:
         from cognn_tpu.harness.datasets import load_planetoid_raw
