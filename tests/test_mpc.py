@@ -379,3 +379,21 @@ def test_phase_compile_mode_matches_epoch_unopt():
     for l in range(2):
         np.testing.assert_allclose(b.reveal_weights()[l],
                                    a.reveal_weights()[l], atol=1e-6)
+
+
+def test_prng_impl_value_independent():
+    """Exact truncation makes revealed values key-INDEPENDENT: an engine
+    using the rbg (hardware counter) share-mask PRNG — the TPU training
+    default, r4 — produces bit-identical metrics and revealed weights to
+    the threefry default."""
+    src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
+    param = make_param(32, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    e_tf = MpcGasEngine(build_device_plan(graphs), param, prng_impl=None)
+    e_rbg = MpcGasEngine(build_device_plan(graphs), param, prng_impl="rbg")
+    m_tf = e_tf.metrics_host(e_tf.run_epochs(2))
+    m_rbg = e_rbg.metrics_host(e_rbg.run_epochs(2))
+    np.testing.assert_array_equal(m_tf["loss"], m_rbg["loss"])
+    for l in range(2):
+        np.testing.assert_array_equal(e_tf.reveal_weights()[l],
+                                      e_rbg.reveal_weights()[l])
