@@ -69,7 +69,7 @@ class _ShardedComm:
         "vertex_mask", "in_deg", "border", "labels", "num_local", "train_n",
         "val_n", "train_mask", "val_mask", "loc_src", "loc_seg", "loc_valid",
         "rem_src", "rem_seg", "rem_valid", "recv_target", "recv_mask",
-        "gather_ok_self", "gather_ok_from", "agg",
+        "gather_ok_self", "gather_ok_from", "agg", "x0p",
     ],
     meta_fields=[],
 )
@@ -100,6 +100,10 @@ class _PlanArrays:
     # as ARGUMENTS (closure-captured constants of this size break the
     # serialized-module transport at PubMed scale)
     agg: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
+    # loop-invariant layer-0 matmul operand prep (mpc engines: x0's
+    # reconstruct + byte-limb decomposition hoisted out of the epoch scan;
+    # party-leading leaves, same argument-not-constant rule as ``agg``)
+    x0p: Dict[str, object] = dataclasses.field(default_factory=dict)
 
 
 def _plan_arrays(plan: DevicePlan, dtype) -> _PlanArrays:
@@ -257,6 +261,22 @@ def bcsr_supertile_c(rhs_rows: int) -> int:
     if c < 1:
         return 0
     return min(128, 1 << (int(c).bit_length() - 1))
+
+
+def bcsr_d_tile(planes_per_feature: int, width: int) -> int:
+    """Feature-tile extent for a byte-plane SpMM whose full RHS
+    (``planes_per_feature * width`` rows) blows the supertile VMEM budget:
+    the widest D-chunk whose ``planes_per_feature * Dt`` rows still admit a
+    C >= 4 supertile. Chunking re-streams the A block values once per
+    chunk, so the LARGEST feasible tile minimizes A traffic (the dominant
+    stream for narrow chunks); the RHS/output streams are chunk-count
+    invariant. Keeps wide-width (unopt / full-input-space) share
+    aggregation on the MXU instead of falling back to the sparse OGA
+    (original-gcn's full-width message passing, `original-gcn/
+    gcn.h:243-251`)."""
+    rows_max = VMEM_TILE_BUDGET // (4 * 128 * 4)  # C=4 supertile bound
+    dt = max(1, rows_max // max(planes_per_feature, 1))
+    return min(dt, width)
 
 
 def agg_width(param: GNNParam, variant: str) -> int:

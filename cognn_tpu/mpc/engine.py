@@ -65,12 +65,15 @@ def _select_mpc_backend(plan: DevicePlan, mode: str,
     from cognn_tpu.engine.plan import DENSE_ADJ_BUDGET
 
     def bcsr_ok():
-        # byte-plane RHS = 2 shares x limbs x 4 planes x width rows; veto
-        # bcsr when those supertiles cannot fit VMEM (wide unopt widths)
+        # byte-plane RHS = 2 shares x limbs x 4 planes x width rows. Wide
+        # widths (unopt full-input-space message passing) no longer veto
+        # bcsr: the engine D-tiles the feature axis (`gas.bcsr_d_tile`) so
+        # every kernel call's supertiles stay VMEM-legal; infeasible only
+        # if even ONE feature's plane rows cannot fit (never at the 64-bit
+        # ring's 16 planes).
         if param is None:
             return True
-        return bcsr_supertile_c(2 * limbs * 4
-                                * agg_width(param, variant)) >= 4
+        return bcsr_supertile_c(2 * limbs * 4) >= 4
 
     P, V = plan.num_parties, plan.V
     mult = 0
@@ -98,6 +101,19 @@ def _select_mpc_backend(plan: DevicePlan, mode: str,
     if P * P * V * V <= DENSE_ADJ_BUDGET:
         return "dense"
     return "bcsr" if bcsr_ok() else "sparse"
+
+
+def _plane_rows(planes: int, width: int):
+    """RHS row count to size the byte-plane SpMM kernel for, with D-tiling
+    when the full ``planes * width`` RHS blows the supertile VMEM budget
+    (wide unopt / full-input-space aggregation). Returns (rows, d_tile);
+    d_tile None means the whole width rides one kernel call."""
+    from cognn_tpu.engine.gas import bcsr_d_tile, bcsr_supertile_c
+
+    if bcsr_supertile_c(planes * width) >= 4:
+        return planes * width, None
+    dt = bcsr_d_tile(planes, width)
+    return planes * dt, dt
 
 
 def _segment_sum_shares(sh: jnp.ndarray, seg: jnp.ndarray,
@@ -199,17 +215,32 @@ def _recombine_byte_planes(out_t: jnp.ndarray, S: int, L: int
     return jnp.stack(acc)
 
 
-def _bcsr_agg_shares(kern, sh_flat: jnp.ndarray) -> jnp.ndarray:
+def _bcsr_agg_shares(kern, sh_flat: jnp.ndarray,
+                     d_tile: int | None = None) -> jnp.ndarray:
     """Exact mod-2^(32L) share aggregation upd = A^T @ sh on the Pallas
     block-sparse SpMM — the dense byte-plane trick (`_dense_agg_shares`)
     at block-sparse scale (PubMed-class graphs where the flat (P·V)^2
     adjacency cannot be held). All S*L*4 byte planes ride one kernel call
     as stacked f32 rows (the kernel casts to bf16 internally — exact for
     planes <= 255 — and accumulates in f32, exact under the 2^24 total
-    in-edge guard checked at init), then recombine with carries."""
+    in-edge guard checked at init), then recombine with carries.
+
+    ``d_tile``: when the full S*L*4*D plane RHS would blow the supertile
+    VMEM budget (wide unopt widths), chunk the FEATURE axis into d_tile
+    columns per kernel call — the A block stream repeats per chunk, but
+    the MXU path stays legal at any width (vs the two-orders-slower
+    sparse fallback it replaces)."""
     from cognn_tpu.ops.bcsr import BLOCK
 
     S, L, V, D = sh_flat.shape
+    if d_tile is not None and D > d_tile:
+        pad = (-D) % d_tile
+        padded = jnp.pad(sh_flat, ((0, 0),) * 3 + ((0, pad),))
+        outs = [
+            _bcsr_agg_shares(kern, padded[..., d0:d0 + d_tile])
+            for d0 in range(0, D + pad, d_tile)
+        ]
+        return jnp.concatenate(outs, axis=-1)[..., :D]
     ht = _expand_byte_planes(sh_flat, jnp.float32)  # [S*L*4*D, V]
     width = kern.n_src_blocks * BLOCK
     if width != V:
@@ -299,6 +330,7 @@ class MpcGasEngine:
                 plan, mode, param=param, variant=variant,
                 limbs=(fp or FixedPointSpec()).ring.limbs)
         self._bcsr_sharded_meta = None
+        self._agg_d_tile = None
         if aggregation == "dense":
             if mode != "stacked":
                 raise ValueError("dense mpc aggregation is stacked-only")
@@ -355,9 +387,10 @@ class MpcGasEngine:
                                                   agg_width)
 
                 planes = 2 * (fp or FixedPointSpec()).ring.limbs * 4
+                rows, self._agg_d_tile = _plane_rows(
+                    planes, agg_width(param, variant))
                 agg_operands, self._bcsr_sharded_meta = \
-                    _build_bcsr_sharded(
-                        plan, planes * agg_width(param, variant))
+                    _build_bcsr_sharded(plan, rows)
             else:
                 m = build_bcsr(np.concatenate(srcs), dsts_all,
                                Pn * Vn, Pn * Vn)
@@ -377,8 +410,9 @@ class MpcGasEngine:
                                                   agg_width)
 
                 planes = 2 * (fp or FixedPointSpec()).ring.limbs * 4
-                agg_operands = {"bcsr_kernel": _pick_bcsr_kernel(
-                    m, planes * agg_width(param, variant))}
+                rows, self._agg_d_tile = _plane_rows(
+                    planes, agg_width(param, variant))
+                agg_operands = {"bcsr_kernel": _pick_bcsr_kernel(m, rows)}
         elif aggregation == "sparse":
             agg_operands = {}
         else:
@@ -436,6 +470,22 @@ class MpcGasEngine:
         self.inv_train_fp = self.proto.encode_public(
             1.0 / jnp.asarray(plan.train_n, jnp.float32))  # [L, P]
 
+        # Hoist the loop-invariant x0 matmul prep out of the epoch scan:
+        # the opt schedule's only full-feature-width matmuls are layer-0
+        # forward (x0 @ W0) and its weight gradient (x0^T @ g) — both with
+        # the STATIC feature matrix as the A operand. Reconstructing +
+        # byte-limb-decomposing f-wide x0 inside every scan iteration was
+        # the dominant loop-invariant cost of the wide-feature mpc epoch
+        # (CiteSeer f=3703); prep once here, ride programs as arguments
+        # (never closure constants — remote-compile transport limit).
+        if variant in ("opt", "opt_inference"):
+            prep = jax.jit(jax.vmap(self.proto.prep_matmul_a,
+                                    in_axes=2, out_axes=0))
+            x0p = {"fwd": prep(self.x0_sh)}
+            if variant == "opt":
+                x0p["bwd"] = prep(jnp.swapaxes(self.x0_sh, -1, -2))
+            self.arr = dataclasses.replace(self.arr, x0p=x0p)
+
         self.compile_mode = compile_mode
         self._epochs_scan_cache: dict = {}
         if mode == "sharded":
@@ -477,7 +527,10 @@ class MpcGasEngine:
         def fwd_layer(key, pid, arr, n0, h, w, *, first, last):
             key = jax.random.fold_in(key, pid)
             k1, k2, k3, k4 = jax.random.split(key, 4)
-            h = self._pmatmul(k1, h, w)
+            if first and "fwd" in arr.x0p:
+                h = self._pmatmul_prepped(k1, arr.x0p["fwd"], w)
+            else:
+                h = self._pmatmul(k1, h, w)
             if not first:
                 h = self._scale_rows(k2, h, n0)
             h = self._aggregate(comm, k3, arr, n0, h, True)
@@ -499,13 +552,16 @@ class MpcGasEngine:
             return h, g
 
         def bwd_second(key, pid, arr, n0, h, h_in, w, inv, *, do_agg,
-                       agg_scale):
+                       agg_scale, use_x0p):
             key = jax.random.fold_in(key, pid)
             k2, k3, k4, k5, k6, k7 = jax.random.split(key, 6)
             if do_agg:
                 hs = self._scale_rows(k2, h, n0)
                 h = self._aggregate(comm, k3, arr, n0, hs, agg_scale)
-            d = self._pmatmul(k4, jnp.swapaxes(h_in, -1, -2), h)
+            if use_x0p:
+                d = self._pmatmul_prepped(k4, arr.x0p["bwd"], h)
+            else:
+                d = self._pmatmul(k4, jnp.swapaxes(h_in, -1, -2), h)
             d = proto.scale_rows(k5, d, inv[..., None, None])
             step = proto.scale_const(k6, d, float(self.param.learning_rate))
             w = proto.sub(w, step)
@@ -521,9 +577,10 @@ class MpcGasEngine:
             for da in (False, True) for asc in (False, True)
             for dm in (False, True)}
         self._j_bwd2 = {
-            (da, asc): jax.jit(functools.partial(
-                bwd_second, do_agg=da, agg_scale=asc))
-            for da in (False, True) for asc in (False, True)}
+            (da, asc, ux): jax.jit(functools.partial(
+                bwd_second, do_agg=da, agg_scale=asc, use_x0p=ux))
+            for da in (False, True) for asc in (False, True)
+            for ux in (False, True)}
 
     def _build_phase_jits_unopt(self):
         """Per-phase programs for the CoGNN (unopt / ss) 2L-phase schedule —
@@ -626,7 +683,8 @@ class MpcGasEngine:
                     key, phase, arr, n0_fp, h, weights_sh[l],
                     z_mask[l] if do_mask else None)
             else:
-                weights_sh[l] = self._j_bwd2[(do_agg, agg_scale)](
+                use_x0p = (l == 0 and "bwd" in arr.x0p)
+                weights_sh[l] = self._j_bwd2[(do_agg, agg_scale, use_x0p)](
                     key, phase, arr, n0_fp, h, h_in[l], weights_sh[l],
                     inv_train_fp)
                 h = g
@@ -681,6 +739,14 @@ class MpcGasEngine:
         return jax.vmap(self.proto.matmul, in_axes=(0, 2, 2), out_axes=2)(
             keys, a_sh, b_sh)
 
+    def _pmatmul_prepped(self, key, prep_a, b_sh):
+        """Per-party shared matmul with the A side precomputed at engine
+        init (party-LEADING prep leaves vs b [2,L,Pl,K,M]) — bit-identical
+        to ``_pmatmul`` on the operand the prep was taken from."""
+        keys = jax.random.split(key, b_sh.shape[2])
+        return jax.vmap(self.proto.matmul_prepped,
+                        in_axes=(0, 0, 2), out_axes=2)(keys, prep_a, b_sh)
+
     def _scale_rows(self, key, sh, scalars_fp):
         """sh [2,L,Pl,V,D] * public fp scalars [L,Pl,V] (broadcast over D)."""
         return self.proto.scale_rows(key, sh, scalars_fp[..., None])
@@ -707,8 +773,23 @@ class MpcGasEngine:
             meta = self._bcsr_sharded_meta
 
             def one(i):
-                ht = _expand_byte_planes(sh[:, :, i], jnp.float32)
-                Dp = ht.shape[0]  # S*L*4*D, a multiple of 8
+                dt = self._agg_d_tile
+                if dt is not None and D > dt:
+                    # D-tiled wide RHS: chunk the feature axis so each
+                    # kernel call's plane rows fit the supertile VMEM
+                    # budget (same scheme as _bcsr_agg_shares)
+                    pad = (-D) % dt
+                    padded = jnp.pad(sh[:, :, i],
+                                     ((0, 0),) * 2 + ((0, 0), (0, pad)))
+                    outs = [one_chunk(padded[..., d0:d0 + dt], i)
+                            for d0 in range(0, D + pad, dt)]
+                    return jnp.concatenate(outs, axis=-1)[..., :D]
+                return one_chunk(sh[:, :, i], i)
+
+            def one_chunk(sh_i, i):
+                ht = _expand_byte_planes(sh_i, jnp.float32)
+                Dc = sh_i.shape[-1]
+                Dp = ht.shape[0]  # S*L*4*Dc, a multiple of 8
                 if meta[0] == "tiled":
                     _, G, C, Cd, nsc, ndc, nsb, ndb = meta
                     ht_p = jnp.pad(ht, ((0, 0), (0, nsc * C * BLOCK - V)))
@@ -730,7 +811,7 @@ class MpcGasEngine:
                                      arr.agg["bcsr_vals"][i], ndb,
                                      interp)[:, :P * V]
                 return _recombine_byte_planes(
-                    out.T.reshape(P * V, S * L * 4, D), S, L)
+                    out.T.reshape(P * V, S * L * 4, Dc), S, L)
 
             upd = jnp.stack([one(i) for i in range(Pl)], axis=2)
             send = upd.reshape(S, L, Pl, P, V, D)
@@ -753,7 +834,8 @@ class MpcGasEngine:
             if "flat_adj_bf16" in arr.agg:
                 upd = _dense_agg_shares(arr.agg["flat_adj_bf16"], flat)
             else:
-                upd = _bcsr_agg_shares(arr.agg["bcsr_kernel"], flat)
+                upd = _bcsr_agg_shares(arr.agg["bcsr_kernel"], flat,
+                                       self._agg_d_tile)
             agg = self.proto.add(sh, upd.reshape(sh.shape))
             if dest_scale:
                 key, k = jax.random.split(key)
@@ -850,7 +932,11 @@ class MpcGasEngine:
                 h = self._aggregate(comm, k3, arr, n0_fp, h, dest_scale=True)
                 h = self._pmatmul(k1, h, weights_sh[l])
             else:
-                h = self._pmatmul(k1, h, weights_sh[l])
+                if l == 0 and "fwd" in arr.x0p:
+                    h = self._pmatmul_prepped(k1, arr.x0p["fwd"],
+                                              weights_sh[l])
+                else:
+                    h = self._pmatmul(k1, h, weights_sh[l])
                 if l != 0:
                     h = self._scale_rows(k2, h, n0_fp)
                 key, k3 = jax.random.split(key)
@@ -885,7 +971,10 @@ class MpcGasEngine:
         for l in range(L):
             h_in[l] = h
             key, k1, k2, k3 = jax.random.split(key, 4)
-            h = self._pmatmul(k1, h, weights_sh[l])
+            if l == 0 and "fwd" in arr.x0p:
+                h = self._pmatmul_prepped(k1, arr.x0p["fwd"], weights_sh[l])
+            else:
+                h = self._pmatmul(k1, h, weights_sh[l])
             if l != 0:
                 h = self._scale_rows(k2, h, n0_fp)
             h = self._aggregate(comm, k3, arr, n0_fp, h, dest_scale=True)
@@ -913,8 +1002,11 @@ class MpcGasEngine:
                 wT = jnp.swapaxes(weights_sh[l], -1, -2)
                 g = self._pmatmul(k1, h, wT)
             else:
-                hT = jnp.swapaxes(h_in[l], -1, -2)
-                d = self._pmatmul(k4, hT, h)
+                if l == 0 and "bwd" in arr.x0p:
+                    d = self._pmatmul_prepped(k4, arr.x0p["bwd"], h)
+                else:
+                    hT = jnp.swapaxes(h_in[l], -1, -2)
+                    d = self._pmatmul(k4, hT, h)
                 # per-party gradient scale 1/train_n, SGD (gcn.h:667-678)
                 d = proto.scale_rows(k5, d, inv_train_fp[..., None, None])
                 step = proto.scale_const(k6, d,

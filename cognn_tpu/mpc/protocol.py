@@ -131,6 +131,39 @@ class Protocol:
             prod = ring_matmul(a, b, bits=self.ring.bits)
         return self._trunc_ring(key, prod, self.f)
 
+    @property
+    def _small_path(self) -> bool:
+        return self.matmul_path == "small" and self.ring.bits == 64
+
+    def prep_matmul_a(self, a_sh: jnp.ndarray):
+        """Precompute the A-side of :meth:`matmul` for a LOOP-INVARIANT
+        shared operand (the static feature matrix x0 in the layer-0 forward
+        / weight-gradient matmuls, `optimize-gcn/gcn.h:233,665`): the
+        reconstruct + byte-limb decomposition runs once per engine instead
+        of inside every epoch of the training scan. The returned pytree
+        rides compiled programs as an argument; :meth:`matmul_prepped`
+        consumes it and is bit-identical to :meth:`matmul`."""
+        a = self.reconstruct_ring(a_sh)
+        if self._small_path:
+            from cognn_tpu.ops.intmatmul import prep_a_small
+
+            return prep_a_small(a)
+        return a  # still hoists the reconstruct for the general kernel
+
+    def matmul_prepped(self, key: jax.Array, prep_a,
+                       b_sh: jnp.ndarray) -> jnp.ndarray:
+        """:meth:`matmul` with the A side precomputed by
+        :meth:`prep_matmul_a` (same kernel, bit-identical shares for the
+        same key)."""
+        b = self.reconstruct_ring(b_sh)
+        if self._small_path:
+            from cognn_tpu.ops.intmatmul import ring_matmul_small_prepped
+
+            prod = ring_matmul_small_prepped(prep_a, b)
+        else:
+            prod = ring_matmul(prep_a, b, bits=self.ring.bits)
+        return self._trunc_ring(key, prod, self.f)
+
     def scale_rows(self, key: jax.Array, sh: jnp.ndarray,
                    scalars_fp: jnp.ndarray) -> jnp.ndarray:
         """Row-wise multiply by public fixed-point scalars [..., 1 broadcast]

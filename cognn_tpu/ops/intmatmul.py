@@ -112,42 +112,58 @@ def _ring_sub2(a, b):
     return jnp.stack([lo, a[1] - b[1] - borrow])
 
 
-@jax.jit
-def ring_matmul_small(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray
-                      ) -> jnp.ndarray:
-    """Exact A @ B mod 2^64 for SMALL operands: both matrices' signed values
-    must fit int32 (|x| < 2^31 — e.g. reconstructed fixed-point activations,
-    NOT uniformly random shares). Exploits sign-extension structure:
+def prep_a_small(a_limbs: jnp.ndarray):
+    """Precompute the A-side decomposition of :func:`ring_matmul_small`.
 
-        x mod 2^64 = lo_x + 2^32 * (-s_x)    with s_x = sign bit
-
-        sum x*w = sum full64(lo_x * lo_w)
-                  - 2^32 * (sum lo_x * s_w + sum s_x * lo_w)   (mod 2^64)
-
-    16 low-product int8 dots + 8 sign-mask dots = 24 MXU dots (vs 36 for the
-    general kernel). Used by the MPC protocol's reconstruct-side matmuls.
+    For a LOOP-INVARIANT A operand (the GCN's static feature matrix x0 in
+    the layer-0 forward ``x0 @ W`` and weight-gradient ``x0^T @ g`` matmuls,
+    `optimize-gcn/gcn.h:233,665`), the reconstruct + byte-limb decompose +
+    row-sum work depends only on A and can be hoisted out of the training
+    scan: compute it once per engine, ride it through compiled programs as
+    an ARGUMENT pytree, and re-use it every epoch. Returns a list (one
+    entry per K-block) of dicts {Ab int8 [4,N,Kb], rs int32 [4,N],
+    sa int8 [N,Kb], sa_sum int32 [N,1]}.
     """
     lo_a, hi_a = a_limbs[0], a_limbs[1]
-    lo_b, hi_b = b_limbs[0], b_limbs[1]
     K = lo_a.shape[-1]
     A8 = _to_limbs8(lo_a[None], 4)  # [4, N, K]
-    B8 = _to_limbs8(lo_b[None], 4)  # [4, K, M]
     sa = (hi_a >> _U32(31)).astype(jnp.int8)  # sign bits (hi is 0 or ~0)
-    sb = (hi_b >> _U32(31)).astype(jnp.int8)
-
+    blocks = []
     nblocks = max(1, -(-K // _MAX_K))
-    acc = None
-    corr = None  # mod 2^32 correction: sum lo_a*s_b + s_a*lo_b
     for blk in range(nblocks):
         k0, k1 = blk * _MAX_K, min(K, (blk + 1) * _MAX_K)
-        Ka = k1 - k0
         Ab = (A8[..., k0:k1] - 128).astype(jnp.int8)
+        sa_blk = sa[..., k0:k1]
+        blocks.append({
+            "Ab": Ab,
+            "rs": jnp.sum(Ab.astype(jnp.int32), axis=-1),
+            "sa": sa_blk,
+            "sa_sum": 128 * jnp.sum(sa_blk.astype(jnp.int32),
+                                    axis=-1)[:, None],
+        })
+    return blocks
+
+
+def ring_matmul_small_prepped(prep_a, b_limbs: jnp.ndarray) -> jnp.ndarray:
+    """:func:`ring_matmul_small` with the A side precomputed by
+    :func:`prep_a_small` (bit-identical result)."""
+    lo_b, hi_b = b_limbs[0], b_limbs[1]
+    B8 = _to_limbs8(lo_b[None], 4)  # [4, K, M]
+    sb = (hi_b >> _U32(31)).astype(jnp.int8)
+
+    acc = None
+    corr = None  # mod 2^32 correction: sum lo_a*s_b + s_a*lo_b
+    k0 = 0
+    for blkd in prep_a:
+        Ab, rs = blkd["Ab"], blkd["rs"]
+        sa_blk, sa_sum = blkd["sa"], blkd["sa_sum"]
+        Ka = Ab.shape[-1]
+        k1 = k0 + Ka
         Bb = (B8[:, k0:k1, :] - 128).astype(jnp.int8)
-        rs = jnp.sum(Ab.astype(jnp.int32), axis=-1)
         cs = jnp.sum(Bb.astype(jnp.int32), axis=-2)
         const = jnp.int32(128 * 128 * Ka)
         sb_blk = sb[k0:k1]
-        sa_blk = sa[..., k0:k1]
+        k0 = k1
         # One wide RHS [Ka, 4M+M]: the 4 B limb planes plus the B sign
         # column — each A limb plane is streamed from HBM ONCE and serves
         # all its products (4 main + its li sign term); with M=hidden=16
@@ -173,13 +189,30 @@ def ring_matmul_small(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray
         rj_all = jax.lax.dot_general(
             sa_blk, Bcat[:, :4 * M], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)  # [N, 4M]
-        sa_sum = 128 * jnp.sum(sa_blk.astype(jnp.int32), axis=-1)[:, None]
         for i in range(4):
             rj = rj_all[:, i * M:(i + 1) * M] + sa_sum
             corr = corr + (rj.astype(_U32) << _U32(8 * i))
     # subtract 2^32 * corr (mod 2^64): only the hi limb is affected
     hi = acc[1] - corr
     return jnp.stack([acc[0], hi])
+
+
+@jax.jit
+def ring_matmul_small(a_limbs: jnp.ndarray, b_limbs: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Exact A @ B mod 2^64 for SMALL operands: both matrices' signed values
+    must fit int32 (|x| < 2^31 — e.g. reconstructed fixed-point activations,
+    NOT uniformly random shares). Exploits sign-extension structure:
+
+        x mod 2^64 = lo_x + 2^32 * (-s_x)    with s_x = sign bit
+
+        sum x*w = sum full64(lo_x * lo_w)
+                  - 2^32 * (sum lo_x * s_w + sum s_x * lo_w)   (mod 2^64)
+
+    16 low-product int8 dots + 8 sign-mask dots = 24 MXU dots (vs 36 for the
+    general kernel). Used by the MPC protocol's reconstruct-side matmuls.
+    """
+    return ring_matmul_small_prepped(prep_a_small(a_limbs), b_limbs)
 
 
 # ---------------------------------------------------------------------------

@@ -397,3 +397,110 @@ def test_prng_impl_value_independent():
     for l in range(2):
         np.testing.assert_array_equal(e_tf.reveal_weights()[l],
                                       e_rbg.reveal_weights()[l])
+
+
+def test_matmul_prepped_bit_identical():
+    """matmul with the A side precomputed (the hoisted loop-invariant x0
+    prep, r5) is bit-identical to the direct path for the same key — both
+    for the 24-dot small kernel and the general 36-dot kernel."""
+    k = jax.random.key(7)
+    a = jnp.asarray(RNG.uniform(-2, 2, (6, 70)), jnp.float32)
+    b = jnp.asarray(RNG.uniform(-2, 2, (70, 4)), jnp.float32)
+    for path in ("small", "full"):
+        proto = Protocol(matmul_path=path)
+        sa = proto.share(jax.random.fold_in(k, 0), a)
+        sb = proto.share(jax.random.fold_in(k, 1), b)
+        direct = proto.matmul(jax.random.fold_in(k, 2), sa, sb)
+        prepped = proto.matmul_prepped(jax.random.fold_in(k, 2),
+                                       proto.prep_matmul_a(sa), sb)
+        np.testing.assert_array_equal(np.asarray(prepped),
+                                      np.asarray(direct), err_msg=path)
+
+
+def test_x0_prep_wired_into_opt_engines():
+    """The opt engines carry the hoisted x0 prep as plan-array arguments
+    (fwd for both variants, bwd only for training), and unopt engines do
+    not (their layer-0 operand is the aggregated ah, not static x0)."""
+    src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
+    param = make_param(32, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    opt = MpcGasEngine(build_device_plan(graphs), param)
+    assert set(opt.arr.x0p) == {"fwd", "bwd"}
+    inf = MpcGasEngine(build_device_plan(graphs), param, "opt_inference")
+    assert set(inf.arr.x0p) == {"fwd"}
+    unopt = MpcGasEngine(build_device_plan(graphs), param, "unopt")
+    assert not unopt.arr.x0p
+
+
+def test_d_tiled_bcsr_mpc_matches_sparse():
+    """D-tiled byte-plane bcsr aggregation (wide-width chunking past the
+    supertile VMEM budget, r5) is bit-identical to the sparse OGA — the
+    unopt full-input-width schedule exercises the chunked path."""
+    from unittest import mock
+
+    src, dst, feats, labels = make_dataset(n=40, m=200, d=10,
+                                           homophily=0.7)
+    param = make_param(40, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    sparse = MpcGasEngine(build_device_plan(graphs), param, "unopt")
+    with mock.patch("cognn_tpu.engine.gas.VMEM_TILE_BUDGET", 128 << 10), \
+            mock.patch("cognn_tpu.engine.gas.BCSR_TILED_NNZB", 1):
+        tiled = MpcGasEngine(build_device_plan(graphs), param, "unopt",
+                             aggregation="bcsr")
+    assert tiled._agg_d_tile == 4  # (128KiB / (4*128*4)) // 16 planes
+    ms = sparse.metrics_host(sparse.run_epochs(2))
+    mt = tiled.metrics_host(tiled.run_epochs(2))
+    np.testing.assert_array_equal(mt["loss"], ms["loss"])
+    for l in range(2):
+        np.testing.assert_array_equal(tiled.reveal_weights()[l],
+                                      sparse.reveal_weights()[l])
+
+
+def test_d_tiled_sharded_bcsr_matches_stacked():
+    """The sharded twin of the D-tiled byte-plane path (per-party partial
+    sums -> ring -> halo -> ring-add) stays bit-identical under chunking."""
+    from unittest import mock
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    src, dst, feats, labels = make_dataset(n=40, m=200, d=10,
+                                           homophily=0.7)
+    param = make_param(40, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    stacked = MpcGasEngine(build_device_plan(graphs), param, "unopt")
+    mesh = jax.make_mesh((2,), ("party",))
+    with mock.patch("cognn_tpu.engine.gas.VMEM_TILE_BUDGET", 128 << 10), \
+            mock.patch("cognn_tpu.engine.gas.BCSR_TILED_NNZB", 1):
+        sharded = MpcGasEngine(build_device_plan(graphs), param, "unopt",
+                               mode="sharded", mesh=mesh,
+                               aggregation="bcsr")
+    assert sharded._agg_d_tile == 4
+    ms = stacked.metrics_host(stacked.run_epochs(2))
+    mh = sharded.metrics_host(sharded.run_epochs(2))
+    np.testing.assert_array_equal(mh["loss"], ms["loss"])
+    for l in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(sharded.reveal_weights()[l])),
+            stacked.reveal_weights()[l])
+
+
+@pytest.mark.parametrize("n_parties", [3, 5])
+def test_sharded_mpc_odd_party_counts(n_parties):
+    """Sharded == stacked parity at non-power-of-two party counts (the
+    reference evaluates 2-5 parties, `tmp_run_cluster.py:268`)."""
+    if len(jax.devices()) < n_parties:
+        pytest.skip(f"needs >= {n_parties} devices")
+    src, dst, feats, labels = make_dataset(n=40, m=200, homophily=0.7)
+    param = make_param(40, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, n_parties)
+    stacked = MpcGasEngine(build_device_plan(graphs), param)
+    mesh = jax.make_mesh((n_parties,), ("party",))
+    sharded = MpcGasEngine(build_device_plan(graphs), param,
+                           mode="sharded", mesh=mesh)
+    ms = stacked.metrics_host(stacked.run_epochs(2))
+    mh = sharded.metrics_host(sharded.run_epochs(2))
+    np.testing.assert_array_equal(mh["loss"], ms["loss"])
+    for l in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(sharded.reveal_weights()[l])),
+            stacked.reveal_weights()[l])
