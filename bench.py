@@ -2,7 +2,7 @@
 
 Prints ONE JSON line:
   {"metric": "edge_iters_per_s", "value": N, "unit": "edge-iters/s",
-   "vs_baseline": N / 5300}
+   "vs_baseline": N / 5300, "secondary": {...}}
 
 Baseline: the reference's smallest documented run — 2-party Cora "2s",
 12 schedule iterations over 10,556 directed edges in 23.9 s of iteration time
@@ -12,9 +12,13 @@ for plaintext CoGNN-Opt training epochs, 2 parties, Cora-scale graph, on one
 TPU chip. The measured configuration is the fast path at this scale: dense
 (flat-adjacency MXU) aggregation + the scan-compiled training loop
 (GasEngine.run_epochs_scan); falls back to the sparse backend if the dense
-plan fails. Secret-shared throughput is tracked in GOLDEN.md.
+plan fails.
 
-Extra context lines go to stderr; stdout carries only the JSON line.
+``secondary`` carries the SECRET-SHARED epoch throughput (mpc Cora 2p,
+same graph, same chained-window discipline) — the framework's actual
+differentiator, and the apples-to-apples row against the reference's 2PC
+pipeline (which only runs secret-shared). One JSON object on one line
+keeps the driver contract; extra context lines go to stderr.
 """
 
 import json
@@ -26,7 +30,7 @@ import time
 import numpy as np
 
 BASELINE_EDGE_ITERS_PER_S = 5300.0
-ATTEMPT_TIMEOUT_S = 360  # tunnel compile latency is occasionally minutes
+ATTEMPT_TIMEOUT_S = 540  # two engines' tunnel compiles + timed windows
 MAX_ATTEMPTS = 3
 SCAN = 64  # epochs per compiled lax.scan dispatch
 
@@ -126,30 +130,66 @@ def main():
 
     # timed epochs: chain data-dependent scan dispatches and close the window
     # with a value fetch; grow the chain until the window holds >= 0.5 s.
-    reps = 1
-    while True:
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            m = engine.run_epochs_scan(SCAN)
-        hard_sync(engine.weights[0])
-        dt = time.perf_counter() - t0
-        if dt >= 0.5 or reps >= 1024:
-            break
-        reps = min(1024, max(reps * 2, int(reps * 0.6 / max(dt, 1e-6))))
-        log(f"window {dt*1e3:.0f} ms too short for honest tunnel timing; "
-            f"retrying with {reps} chained scan({SCAN}) dispatches")
-    per_epoch = dt / (reps * SCAN)
+    def timed_epochs(eng, sync_arr):
+        reps, dt, m = 1, 0.0, None
+        while True:
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                m = eng.run_epochs_scan(SCAN)
+            hard_sync(sync_arr())
+            dt = time.perf_counter() - t0
+            if dt >= 0.5 or reps >= 1024:
+                break
+            reps = min(1024, max(reps * 2,
+                                 int(reps * 0.6 / max(dt, 1e-6))))
+            log(f"window {dt*1e3:.0f} ms too short for honest tunnel "
+                f"timing; retrying with {reps} chained scan({SCAN}) "
+                "dispatches")
+        return dt / (reps * SCAN), m
+
+    per_epoch, m = timed_epochs(engine, lambda: engine.weights[0])
     value = iters_per_epoch * num_edges / per_epoch
     m_last = {k: np.asarray(v)[:, -1] for k, v in m.items()}
     log(f"epoch time: {per_epoch*1e6:.1f} us  "
         f"loss={float(m_last['loss'][0]):.4f} "
         f"train_acc={float(m_last['train_acc'][0]):.3f}")
 
+    # secondary metric: the SECRET-SHARED epoch (the differentiator; the
+    # reference pipeline only runs secret-shared, so this is the
+    # apples-to-apples comparison against the same 5.3k baseline)
+    secondary = {"metric": "mpc_edge_iters_per_s", "value": 0,
+                 "unit": "edge-iters/s", "vs_baseline": 0}
+    try:
+        from cognn_tpu.mpc import MpcGasEngine
+
+        mpc = MpcGasEngine(plan, ds.param, "opt", aggregation="auto")
+        log(f"mpc agg={mpc.aggregation}")
+        t0 = time.perf_counter()
+        mpc.run_epochs_scan(SCAN)
+        hard_sync(mpc.proto.reveal(mpc.weights_sh[0]))
+        log(f"mpc compile+first scan({SCAN}): "
+            f"{time.perf_counter() - t0:.2f}s")
+        per_mpc, mm = timed_epochs(
+            mpc, lambda: mpc.proto.reveal(mpc.weights_sh[0]))
+        mpc_val = iters_per_epoch * num_edges / per_mpc
+        mm_last = np.asarray(mm["loss"])[:, -1]
+        log(f"mpc epoch time: {per_mpc*1e6:.1f} us  "
+            f"loss={float(mm_last[0]):.4f}")
+        secondary = {
+            "metric": "mpc_edge_iters_per_s",
+            "value": round(mpc_val, 1),
+            "unit": "edge-iters/s",
+            "vs_baseline": round(mpc_val / BASELINE_EDGE_ITERS_PER_S, 1),
+        }
+    except Exception as e:  # noqa: BLE001
+        log(f"mpc secondary metric failed: {e!r}")
+
     print(json.dumps({
         "metric": "edge_iters_per_s",
         "value": round(value, 1),
         "unit": "edge-iters/s",
         "vs_baseline": round(value / BASELINE_EDGE_ITERS_PER_S, 1),
+        "secondary": secondary,
     }))
 
 

@@ -185,23 +185,42 @@ def _unopt_agg_dims(dims) -> list:
                                           for l in reversed(range(1, L))]
 
 
+def _variant_agg_dims(dims, variant: str, mpc: bool,
+                      hoist_agg: bool | None) -> list:
+    """Aggregation widths of one epoch/forward of ``variant``. The mpc
+    engines hoist the unopt schedule's loop-invariant layer-0 aggregation
+    agg(x0) out of the per-epoch program by default (``hoist_agg=None``
+    resolves to ``mpc``), which removes its f-wide halo collective from
+    every epoch; pass ``hoist_agg=False`` for the reference-faithful
+    schedule (MpcGasEngine(hoist_agg=False))."""
+    L = len(dims) - 1
+    agg_dims = (_unopt_agg_dims(dims) if variant == "unopt"
+                else _opt_agg_dims(dims))
+    if variant == "opt_inference":
+        agg_dims = [dims[l + 1] for l in range(L)]
+    elif variant == "unopt_inference":
+        # original-gcn forward aggregates in the INPUT width per layer
+        agg_dims = [dims[l] for l in range(L)]
+    if hoist_agg is None:
+        hoist_agg = mpc
+    if hoist_agg and variant.startswith("unopt"):
+        agg_dims = agg_dims[1:]  # layer-0 agg(x0) precomputed at init
+    return agg_dims
+
+
 def analytic_bytes_per_epoch(plan, param, variant: str = "opt",
                              mpc: bool = False,
                              aggregation: str = "sparse",
-                             limbs: int = 2) -> Dict[str, float]:
+                             limbs: int = 2,
+                             hoist_agg: bool | None = None
+                             ) -> Dict[str, float]:
     """Closed-form per-party bytes per training epoch, matching the sharded
     engines' collective shapes exactly (see module docstring)."""
     P = plan.num_parties
     if P <= 1:
         return {"all_to_all": 0.0, "psum": 0.0, "total": 0.0}
     dims = param.layer_dims
-    agg_dims = (_unopt_agg_dims(dims) if variant == "unopt"
-                else _opt_agg_dims(dims))
-    if variant == "opt_inference":
-        agg_dims = [dims[l + 1] for l in range(len(dims) - 1)]
-    elif variant == "unopt_inference":
-        # original-gcn forward aggregates in the INPUT width per layer
-        agg_dims = [dims[l] for l in range(len(dims) - 1)]
+    agg_dims = _variant_agg_dims(dims, variant, mpc, hoist_agg)
     halo_rows = plan.M if aggregation == "sparse" else plan.V
     elem = 8 * limbs if mpc else 4
     a2a = float(sum((P - 1) * halo_rows * d * elem for d in agg_dims))
@@ -214,22 +233,19 @@ def analytic_bytes_per_epoch(plan, param, variant: str = "opt",
 
 def analytic_rounds_per_epoch(param, variant: str = "opt",
                               mpc: bool = False,
-                              limbs: int = 2) -> Dict[str, float]:
+                              limbs: int = 2,
+                              hoist_agg: bool | None = None
+                              ) -> Dict[str, float]:
     """Closed-form collective ROUND counts per training epoch, matching the
     sharded engines' compiled programs exactly (pinned to the traced counts
     by tests/test_comm.py). Each GAS aggregation issues ONE halo
     ``all_to_all``; each per-layer weight average issues one ``pmean`` psum
     in plaintext, or 2 shares x ``limbs`` x 2 sixteen-bit-plane psums in
-    share space (`mpc/engine.py::_ring_psum_shares`)."""
+    share space (`mpc/engine.py::_ring_psum_shares`). ``hoist_agg`` as in
+    :func:`_variant_agg_dims`."""
     dims = param.layer_dims
     L = len(dims) - 1
-    agg_dims = (_unopt_agg_dims(dims) if variant == "unopt"
-                else _opt_agg_dims(dims))
-    if variant == "opt_inference":
-        agg_dims = [dims[l + 1] for l in range(L)]
-    elif variant == "unopt_inference":
-        agg_dims = [dims[l] for l in range(L)]
-    n_agg = len(agg_dims)
+    n_agg = len(_variant_agg_dims(dims, variant, mpc, hoist_agg))
     if variant.endswith("inference"):
         n_psum = 0
     else:

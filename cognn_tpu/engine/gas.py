@@ -294,14 +294,15 @@ def agg_width(param: GNNParam, variant: str) -> int:
                else _opt_agg_dims(dims))
 
 
-def _pick_bcsr_kernel(m, rhs_rows: int = 8):
+def _pick_bcsr_kernel(m, rhs_rows: int = 8, d_tile_rows: int | None = None):
     """Measured-best Pallas SpMM variant for a BCSR structure (TPU v5e,
     tools/bench_spmm.py): the one-block-per-step kernel pipelines fine on
     small streams but collapses to ~33 us/step DMA latency at GB-scale
     streams; the supertiled G=32 variant streams those at 700+ GB/s with
     supertile extent C sized to the RHS width by :func:`bcsr_supertile_c`
     (raises when the width is VMEM-infeasible — callers fall back to the
-    sparse OGA)."""
+    sparse OGA). ``d_tile_rows`` enables the kernel-level wide-RHS D-tiling
+    (``rhs_rows`` then sizes one D-tile; the A stream stays single-pass)."""
     from cognn_tpu.ops.pallas_spmm import PallasSpmm, PallasSpmmTiled
 
     if m.nnzb >= BCSR_TILED_NNZB:
@@ -311,7 +312,7 @@ def _pick_bcsr_kernel(m, rhs_rows: int = 8):
                 f"bcsr supertiles for a {rhs_rows}-row RHS do not fit VMEM "
                 "(aggregation width too large for the byte-plane/supertile "
                 "layout at this scale); use aggregation='sparse'")
-        return PallasSpmmTiled(m, G=32, C=c, Cd=c)
+        return PallasSpmmTiled(m, G=32, C=c, Cd=c, d_tile=d_tile_rows)
     return PallasSpmm(m)
 
 

@@ -40,6 +40,11 @@ from cognn_tpu.utils.glibc_rand import glorot_init
 
 _U32 = jnp.uint32
 
+# guards the sparse share aggregation against a deterministic XLA/TPU
+# fusion miscompile (see the forensic note in `_aggregate_impl`); flipped
+# only by tools/repro_tpu_fusion_bug.py
+_SPARSE_AGG_BARRIER = True
+
 
 def _select_mpc_backend(plan: DevicePlan, mode: str,
                         backend: str | None = None,
@@ -320,7 +325,8 @@ class MpcGasEngine:
                  truncation: str = "exact", seed: int = 42,
                  prng_seed: int = 0, mode: str = "stacked",
                  mesh=None, compile_mode: str = "phase",
-                 aggregation: str = "auto", prng_impl: str = "auto"):
+                 aggregation: str = "auto", prng_impl: str = "auto",
+                 nonlinear: str = "reconstruct", hoist_agg: bool = True):
         if variant not in ("opt", "opt_inference", "unopt",
                            "unopt_inference"):
             raise ValueError(variant)
@@ -408,11 +414,19 @@ class MpcGasEngine:
                         "'sparse')")
                 from cognn_tpu.engine.gas import (_pick_bcsr_kernel,
                                                   agg_width)
+                from cognn_tpu.ops.pallas_spmm import PallasSpmmTiled
 
                 planes = 2 * (fp or FixedPointSpec()).ring.limbs * 4
-                rows, self._agg_d_tile = _plane_rows(
-                    planes, agg_width(param, variant))
-                agg_operands = {"bcsr_kernel": _pick_bcsr_kernel(m, rows)}
+                rows, dt = _plane_rows(planes, agg_width(param, variant))
+                kern = _pick_bcsr_kernel(
+                    m, rows, d_tile_rows=(rows if dt else None))
+                # the supertiled kernel D-tiles INTERNALLY (A blocks
+                # stream once); only the one-block kernel needs the
+                # call-level feature chunking
+                self._agg_d_tile = (None if isinstance(kern,
+                                                       PallasSpmmTiled)
+                                    else dt)
+                agg_operands = {"bcsr_kernel": kern}
         elif aggregation == "sparse":
             agg_operands = {}
         else:
@@ -421,7 +435,8 @@ class MpcGasEngine:
         self.plan = plan
         self.param = param
         self.variant = variant
-        self.proto = Protocol(fp or FixedPointSpec(), truncation)
+        self.proto = Protocol(fp or FixedPointSpec(), truncation,
+                              nonlinear=nonlinear)
         self.L = param.num_layers
         self.P = plan.num_parties
         self.epoch_layers = (3 if variant.startswith("opt") else 2) * self.L
@@ -478,12 +493,37 @@ class MpcGasEngine:
         # the dominant loop-invariant cost of the wide-feature mpc epoch
         # (CiteSeer f=3703); prep once here, ride programs as arguments
         # (never closure constants — remote-compile transport limit).
+        prep = jax.jit(jax.vmap(self.proto.prep_matmul_a,
+                                in_axes=2, out_axes=0))
         if variant in ("opt", "opt_inference"):
-            prep = jax.jit(jax.vmap(self.proto.prep_matmul_a,
-                                    in_axes=2, out_axes=0))
             x0p = {"fwd": prep(self.x0_sh)}
             if variant == "opt":
                 x0p["bwd"] = prep(jnp.swapaxes(self.x0_sh, -1, -2))
+            self.arr = dataclasses.replace(self.arr, x0p=x0p)
+        elif hoist_agg:
+            # unopt (original-gcn) hoists MORE: its layer-0 aggregation
+            # Â·x0 runs in the FULL input width (`original-gcn/
+            # gcn.h:243-251`) on the static feature shares — at PubMed
+            # scale that one aggregation is an MXU-flop-floor ~54 ms of
+            # byte-plane SpMM per epoch. agg(x0) is loop-invariant
+            # (values; exact truncation is key-independent), so compute it
+            # once here — the same preprocess-once-reuse the reference's
+            # `-n` flag institutionalizes — and prep its A-side for the
+            # layer-0 matmul/weight-gradient like the opt x0 prep.
+            # NOTE this also removes the layer-0 f-wide halo collective
+            # from every epoch (comm accounting: `comm_model.py`
+            # hoist_agg); ``hoist_agg=False`` restores the
+            # reference-faithful per-epoch schedule for paper-parity
+            # comm/duration tables.
+            k_ah0, _ = jax.random.split(jax.random.key(0))
+            ah0 = jax.jit(
+                lambda arr, x0, n0, k: self._aggregate(
+                    _MpcComm(), k, arr, n0, x0, dest_scale=True)
+            )(self.arr, self.x0_sh, self.n0_fp, k_ah0)
+            # party-LEADING leaves (the sharded placement shards axis 0)
+            x0p = {"ah0": jnp.moveaxis(ah0, 2, 0), "fwd": prep(ah0)}
+            if variant == "unopt":
+                x0p["bwd"] = prep(jnp.swapaxes(ah0, -1, -2))
             self.arr = dataclasses.replace(self.arr, x0p=x0p)
 
         self.compile_mode = compile_mode
@@ -592,10 +632,14 @@ class MpcGasEngine:
         def fwd_u(key, pid, arr, n0, h, w, *, first, last):
             key = jax.random.fold_in(key, pid)
             k1, k2, k3, k4 = jax.random.split(key, 4)
-            if not first:
-                h = self._scale_rows(k1, h, n0)
-            ah = self._aggregate(comm, k2, arr, n0, h, True)
-            zz = self._pmatmul(k3, ah, w)
+            if first and "ah0" in arr.x0p:
+                ah = jnp.moveaxis(arr.x0p["ah0"], 0, 2)
+                zz = self._pmatmul_prepped(k3, arr.x0p["fwd"], w)
+            else:
+                if not first:
+                    h = self._scale_rows(k1, h, n0)
+                ah = self._aggregate(comm, k2, arr, n0, h, True)
+                zz = self._pmatmul(k3, ah, w)
             if last:
                 pm_sh, metrics = self._predict_apply(k4, arr, zz)
                 return ah, pm_sh, metrics
@@ -603,13 +647,16 @@ class MpcGasEngine:
             return ah, proto.mask_mul(zz, m), m
 
         def bwd_u(key, pid, arr, n0, h, ah, w, zmask, inv, *, do_mask,
-                  do_agg_after, agg_scale):
+                  do_agg_after, agg_scale, use_x0p):
             key = jax.random.fold_in(key, pid)
             k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
             if do_mask:
                 h = proto.mask_mul(h, zmask)
             g = self._pmatmul(k1, h, jnp.swapaxes(w, -1, -2))
-            d = self._pmatmul(k2, jnp.swapaxes(ah, -1, -2), h)
+            if use_x0p:
+                d = self._pmatmul_prepped(k2, arr.x0p["bwd"], h)
+            else:
+                d = self._pmatmul(k2, jnp.swapaxes(ah, -1, -2), h)
             d = proto.scale_rows(k3, d, inv[..., None, None])
             step = proto.scale_const(k4, d, float(self.param.learning_rate))
             w = proto.sub(w, step)
@@ -626,10 +673,11 @@ class MpcGasEngine:
                 functools.partial(fwd_u, first=first, last=last))
             for first in (False, True) for last in (False, True)}
         self._j_bwd_u = {
-            (dm, da, asc): jax.jit(functools.partial(
-                bwd_u, do_mask=dm, do_agg_after=da, agg_scale=asc))
+            (dm, da, asc, ux): jax.jit(functools.partial(
+                bwd_u, do_mask=dm, do_agg_after=da, agg_scale=asc,
+                use_x0p=ux))
             for dm in (False, True) for da in (False, True)
-            for asc in (False, True)}
+            for asc in (False, True) for ux in (False, True)}
 
     def _epoch_phased_unopt(self, key, arr, weights_sh, x0_sh, n0_fp,
                             inv_train_fp):
@@ -650,8 +698,9 @@ class MpcGasEngine:
             do_mask = (l != L - 1)
             do_agg_after = (l > 0)
             agg_scale = (L + kk + 2) != 2 * L
+            use_x0p = (l == 0 and "bwd" in arr.x0p)
             h, weights_sh[l] = self._j_bwd_u[(do_mask, do_agg_after,
-                                              agg_scale)](
+                                              agg_scale, use_x0p)](
                 key, L + kk, arr, n0_fp, h, ah[l], weights_sh[l],
                 z_mask[l] if do_mask else None, inv_train_fp)
         return weights_sh, metrics
@@ -733,27 +782,39 @@ class MpcGasEngine:
         return jax.jit(fn)
 
     # ------------------------------------------------------------------
+    # named_scope tags ride into XLA op metadata so jax.profiler device
+    # traces attribute per-phase time (tools/profile_mpc_epoch.py maps them
+    # onto the reference's span tag set, ss_…h:745-897)
     def _pmatmul(self, key, a_sh, b_sh):
         """Per-party shared matmul: a [2,L,Pl,N,K] @ b [2,L,Pl,K,M]."""
-        keys = jax.random.split(key, a_sh.shape[2])
-        return jax.vmap(self.proto.matmul, in_axes=(0, 2, 2), out_axes=2)(
-            keys, a_sh, b_sh)
+        with jax.named_scope("pre_scatter_matmul"):
+            keys = jax.random.split(key, a_sh.shape[2])
+            return jax.vmap(self.proto.matmul,
+                            in_axes=(0, 2, 2), out_axes=2)(keys, a_sh, b_sh)
 
     def _pmatmul_prepped(self, key, prep_a, b_sh):
         """Per-party shared matmul with the A side precomputed at engine
         init (party-LEADING prep leaves vs b [2,L,Pl,K,M]) — bit-identical
         to ``_pmatmul`` on the operand the prep was taken from."""
-        keys = jax.random.split(key, b_sh.shape[2])
-        return jax.vmap(self.proto.matmul_prepped,
-                        in_axes=(0, 0, 2), out_axes=2)(keys, prep_a, b_sh)
+        with jax.named_scope("pre_scatter_matmul_prepped"):
+            keys = jax.random.split(key, b_sh.shape[2])
+            return jax.vmap(self.proto.matmul_prepped,
+                            in_axes=(0, 0, 2), out_axes=2)(keys, prep_a,
+                                                           b_sh)
 
     def _scale_rows(self, key, sh, scalars_fp):
         """sh [2,L,Pl,V,D] * public fp scalars [L,Pl,V] (broadcast over D)."""
-        return self.proto.scale_rows(key, sh, scalars_fp[..., None])
+        with jax.named_scope("vector_scale"):
+            return self.proto.scale_rows(key, sh, scalars_fp[..., None])
 
     # ------------------------------------------------------------------
     def _aggregate(self, comm, key, arr, n0_fp, sh, dest_scale: bool):
         """Share-space Â application (scatter -> OGA -> halo -> gather)."""
+        with jax.named_scope("oga_scatter_gather"):
+            return self._aggregate_impl(comm, key, arr, n0_fp, sh,
+                                        dest_scale)
+
+    def _aggregate_impl(self, comm, key, arr, n0_fp, sh, dest_scale: bool):
         plan = self.plan
         V, M, P = plan.V, plan.M, plan.num_parties
         D = sh.shape[-1]
@@ -765,19 +826,43 @@ class MpcGasEngine:
             # collective, and ring-adds the P partial share sums — the
             # multi-chip twin of the stacked `_bcsr_agg_shares`.
             from cognn_tpu.ops.bcsr import BLOCK
-            from cognn_tpu.ops.pallas_spmm import _spmm_call, _tiled_call
+            from cognn_tpu.ops.pallas_spmm import (_spmm_call, _tiled_call,
+                                                   _tiled_wide_call)
 
             S, L = sh.shape[:2]
             Pl = sh.shape[2]
             interp = jax.default_backend() != "tpu"
             meta = self._bcsr_sharded_meta
 
+            def one_wide(sh_i, i):
+                # kernel-level D-tiling (2D grid, A blocks stream once) —
+                # the sharded twin of the stacked wide-RHS supertiled path
+                _, G, C, Cd, nsc, ndc, nsb, ndb = meta
+                ht = _expand_byte_planes(sh_i, jnp.float32)
+                Dp = ht.shape[0]  # S*L*4*D
+                Dt = S * L * 4 * self._agg_d_tile
+                padD = (-Dp) % Dt
+                ht = jnp.pad(ht, ((0, padD), (0, nsc * C * BLOCK - V)))
+                ht3 = ht.reshape(Dp + padD, -1, BLOCK).swapaxes(0, 1)
+                out3 = _tiled_wide_call(arr.agg["bcsr_t_first"][i],
+                                        arr.agg["bcsr_t_oi"][i],
+                                        arr.agg["bcsr_t_hi"][i],
+                                        arr.agg["bcsr_t_bil"][i],
+                                        arr.agg["bcsr_t_bjl"][i], ht3,
+                                        arr.agg["bcsr_t_vals"][i],
+                                        G, C, Cd, ndc, Dt, interp)
+                out = out3.swapaxes(0, 1).reshape(Dp + padD, -1)
+                out = out[:Dp, :P * V]
+                return _recombine_byte_planes(
+                    out.T.reshape(P * V, S * L * 4, D), S, L)
+
             def one(i):
                 dt = self._agg_d_tile
                 if dt is not None and D > dt:
-                    # D-tiled wide RHS: chunk the feature axis so each
-                    # kernel call's plane rows fit the supertile VMEM
-                    # budget (same scheme as _bcsr_agg_shares)
+                    if meta[0] == "tiled":
+                        return one_wide(sh[:, :, i], i)
+                    # one-block kernel: call-level feature chunking (same
+                    # scheme as _bcsr_agg_shares)
                     pad = (-D) % dt
                     padded = jnp.pad(sh[:, :, i],
                                      ((0, 0),) * 2 + ((0, 0), (0, pad)))
@@ -900,18 +985,24 @@ class MpcGasEngine:
         # placing the barrier BEFORE the dest-scale is NOT sufficient. The
         # barrier only blocks cross-boundary fusion; it costs nothing
         # measurable and the parity tests pin sparse == dense bit-exactly.
-        return jax.lax.optimization_barrier(agg)
+        # Standalone repro: tools/repro_tpu_fusion_bug.py (flips the flag
+        # below so the workaround can be re-validated after an XLA bump
+        # and reported upstream).
+        if _SPARSE_AGG_BARRIER:
+            return jax.lax.optimization_barrier(agg)
+        return agg
 
     # ------------------------------------------------------------------
     def _predict_apply(self, key, arr, z_sh):
-        y_hot = jax.nn.one_hot(arr.labels, self.param.layer_dims[-1],
-                               dtype=jnp.float32)
-        prob, pm_sh = self.proto.softmax_pred(key, z_sh, y_hot)
-        # zero gradients outside the local train split (gcn.h:636-641)
-        pm_sh = self.proto.mask_mul(pm_sh, arr.train_mask[..., None])
-        helper = GasEngine._metrics
-        metrics = helper(self, arr, prob)  # reuse the plaintext metric defs
-        return pm_sh, metrics
+        with jax.named_scope("apply_prediction"):
+            y_hot = jax.nn.one_hot(arr.labels, self.param.layer_dims[-1],
+                                   dtype=jnp.float32)
+            prob, pm_sh = self.proto.softmax_pred(key, z_sh, y_hot)
+            # zero gradients outside the local train split (gcn.h:636-641)
+            pm_sh = self.proto.mask_mul(pm_sh, arr.train_mask[..., None])
+            helper = GasEngine._metrics
+            metrics = helper(self, arr, prob)  # plaintext metric defs
+            return pm_sh, metrics
 
     # ------------------------------------------------------------------
     def _forward_body(self, comm, key, arr, weights_sh, x0_sh, n0_fp,
@@ -926,11 +1017,16 @@ class MpcGasEngine:
         for l in range(self.L):
             key, k1, k2 = jax.random.split(key, 3)
             if unopt:
-                if l != 0:
-                    h = self._scale_rows(k2, h, n0_fp)
-                key, k3 = jax.random.split(key)
-                h = self._aggregate(comm, k3, arr, n0_fp, h, dest_scale=True)
-                h = self._pmatmul(k1, h, weights_sh[l])
+                if l == 0 and "ah0" in arr.x0p:
+                    h = self._pmatmul_prepped(k1, arr.x0p["fwd"],
+                                              weights_sh[l])
+                else:
+                    if l != 0:
+                        h = self._scale_rows(k2, h, n0_fp)
+                    key, k3 = jax.random.split(key)
+                    h = self._aggregate(comm, k3, arr, n0_fp, h,
+                                        dest_scale=True)
+                    h = self._pmatmul(k1, h, weights_sh[l])
             else:
                 if l == 0 and "fwd" in arr.x0p:
                     h = self._pmatmul_prepped(k1, arr.x0p["fwd"],
@@ -1031,11 +1127,19 @@ class MpcGasEngine:
 
         for l in range(L):
             key, k1, k2, k3 = jax.random.split(key, 4)
-            if l != 0:
-                h = self._scale_rows(k1, h, n0_fp)
-            h = self._aggregate(comm, k2, arr, n0_fp, h, dest_scale=True)
-            ah[l] = h
-            zz = self._pmatmul(k3, h, weights_sh[l])
+            if l == 0 and "ah0" in arr.x0p:
+                # hoisted loop-invariant agg(x0) + prepped A side
+                h = jnp.moveaxis(arr.x0p["ah0"], 0, 2)
+                ah[l] = h
+                zz = self._pmatmul_prepped(k3, arr.x0p["fwd"],
+                                           weights_sh[l])
+            else:
+                if l != 0:
+                    h = self._scale_rows(k1, h, n0_fp)
+                h = self._aggregate(comm, k2, arr, n0_fp, h,
+                                    dest_scale=True)
+                ah[l] = h
+                zz = self._pmatmul(k3, h, weights_sh[l])
             if l != L - 1:
                 z_mask[l] = proto.sign_mask(zz)
                 h = proto.mask_mul(zz, z_mask[l])
@@ -1049,8 +1153,11 @@ class MpcGasEngine:
                 h = proto.mask_mul(h, z_mask[l])
             wT = jnp.swapaxes(weights_sh[l], -1, -2)
             g = self._pmatmul(k1, h, wT)
-            ahT = jnp.swapaxes(ah[l], -1, -2)
-            d = self._pmatmul(k2, ahT, h)
+            if l == 0 and "bwd" in arr.x0p:
+                d = self._pmatmul_prepped(k2, arr.x0p["bwd"], h)
+            else:
+                ahT = jnp.swapaxes(ah[l], -1, -2)
+                d = self._pmatmul(k2, ahT, h)
             d = proto.scale_rows(k3, d, inv_train_fp[..., None, None])
             step = proto.scale_const(k4, d, float(self.param.learning_rate))
             weights_sh[l] = proto.sub(weights_sh[l], step)
@@ -1111,10 +1218,11 @@ class MpcGasEngine:
         """Cross-party share-sum + public 1/P scale (gcn.h:747-802)."""
         if self.P == 1:
             return w_sh
-        total = comm.weight_total(self.proto, w_sh, self.P)
-        key, k = jax.random.split(key)
-        mean = self.proto.scale_const(k, total, 1.0 / self.P)
-        return jnp.broadcast_to(mean, w_sh.shape)
+        with jax.named_scope("apply_weight_mean"):
+            total = comm.weight_total(self.proto, w_sh, self.P)
+            key, k = jax.random.split(key)
+            mean = self.proto.scale_const(k, total, 1.0 / self.P)
+            return jnp.broadcast_to(mean, w_sh.shape)
 
     # ------------------------------------------------------------------
     def run_epoch(self):

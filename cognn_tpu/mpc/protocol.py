@@ -58,6 +58,14 @@ class Protocol:
     # activations at f<=16) — 24 MXU dots instead of 36; "full" is the
     # general kernel valid for any 64-bit operands.
     matmul_path: str = "small"  # "small" | "full"
+    # Sign/comparison extraction mode. "reconstruct" forms x = a + b and
+    # reads its sign bit (SURVEY.md §7.3's sanctioned reveal). "bitdecomp"
+    # never materializes x: it derives ONLY the sign via a limb-level
+    # carry circuit on the two shares (the MSB of a+b from the carry into
+    # the top bit — the share-space analogue of the reference's
+    # interactive 2PC comparison, `sci::twoPartyGCNRelu`,
+    # `optimize-gcn/gcn.h:549`; MIN payloads `task/task.h:11-32`).
+    nonlinear: str = "reconstruct"  # "reconstruct" | "bitdecomp"
 
     @property
     def ring(self) -> RingSpec:
@@ -103,8 +111,9 @@ class Protocol:
     # -- truncation -----------------------------------------------------
     def _trunc_ring(self, key: jax.Array, val: jnp.ndarray,
                     shift: int) -> jnp.ndarray:
-        t = ring_arith_shift_right(self.ring, val, shift)
-        return self.reshare(key, t)
+        with jax.named_scope("trunc_reshare"):
+            t = ring_arith_shift_right(self.ring, val, shift)
+            return self.reshare(key, t)
 
     def trunc(self, key: jax.Array, sh: jnp.ndarray,
               shift: int | None = None) -> jnp.ndarray:
@@ -184,13 +193,50 @@ class Protocol:
 
     # -- nonlinear ops (reconstruct-and-mask) ---------------------------
     def sign_mask(self, sh: jnp.ndarray) -> jnp.ndarray:
-        """Public 0/1 mask of (x > 0) from the reconstructed sign bit."""
-        rec = self.reconstruct_ring(sh)
-        hi = rec[-1].astype(jnp.int32)
-        nonneg = hi >= 0
-        nonzero = jnp.logical_or(rec[0] != 0, rec[-1] != 0) if \
-            self.ring.limbs > 1 else rec[0] != 0
-        return jnp.logical_and(nonneg, nonzero)
+        """Public 0/1 mask of (x > 0); mode per ``nonlinear``."""
+        with jax.named_scope("sign_mask"):
+            if self.nonlinear == "bitdecomp":
+                return self._sign_mask_bitdecomp(sh)
+            rec = self.reconstruct_ring(sh)
+            hi = rec[-1].astype(jnp.int32)
+            nonneg = hi >= 0
+            nonzero = jnp.logical_or(rec[0] != 0, rec[-1] != 0) if \
+                self.ring.limbs > 1 else rec[0] != 0
+            return jnp.logical_and(nonneg, nonzero)
+
+    def _sign_mask_bitdecomp(self, sh: jnp.ndarray) -> jnp.ndarray:
+        """(x > 0) without materializing x = a + b: the MSB of the sum is
+        msb(a) XOR msb(b) XOR carry-into-the-top-bit, and that carry is a
+        limb-level carry chain over the low bits of the two shares — a
+        bit-decomposition of the sum that extracts ONLY the sign. The zero
+        test is a == -b, likewise share-local. Bit-identical to the
+        reconstruct path (pinned by tests/test_mpc.py)."""
+        a, b = sh[0], sh[1]
+        L = self.ring.limbs
+        top = _U32(0x7FFFFFFF)
+        # carry chain through the non-top limbs of a + b
+        c = None
+        for l in range(L - 1):
+            s1 = a[l] + b[l]
+            c1 = s1 < a[l]
+            if c is None:
+                c, s = c1, s1
+            else:
+                s = s1 + c.astype(_U32)
+                c = jnp.logical_or(c1, s < s1)
+        # carry INTO the top bit: low 31 bits of the top limbs + carry-in
+        t = (a[L - 1] & top) + (b[L - 1] & top)
+        if c is not None:
+            t = t + c.astype(_U32)
+        c_top = t >> _U32(31)
+        msb = (a[L - 1] >> _U32(31)) ^ (b[L - 1] >> _U32(31)) ^ c_top
+        nonneg = msb == 0
+        # x == 0  <=>  a == -b (two's complement negation, limbwise)
+        nb = ring_neg(self.ring, b)
+        zero = a[0] == nb[0]
+        for l in range(1, L):
+            zero = jnp.logical_and(zero, a[l] == nb[l])
+        return jnp.logical_and(nonneg, jnp.logical_not(zero))
 
     def relu(self, sh: jnp.ndarray) -> jnp.ndarray:
         """x * (x > 0) — mask multiply keeps shares linear, no truncation

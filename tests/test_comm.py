@@ -91,14 +91,25 @@ def test_traced_rounds_match_analytic(mpc, variant):
     for k in ("all_to_all", "psum", "total"):
         np.testing.assert_allclose(traced[k], analytic[k], err_msg=k)
     # hand computation, L=2 layers: one halo all_to_all per GAS aggregation
-    # (opt epoch: 3L-2 = 4 aggregations; unopt: 2L-2+... = L fwd + L-1 bwd
-    # = 3); one weight average per layer per epoch = 2, each riding 1 pmean
-    # psum in plaintext or 2 shares x 2 limbs x 2 planes = 8 psums in
-    # share space.
-    exp_a2a = 4 if variant == "opt" else 3
+    # (opt epoch: 3L-2 = 4 aggregations; unopt: L fwd + L-1 bwd = 3, minus
+    # the hoisted layer-0 agg(x0) in mpc engines -> 2); one weight average
+    # per layer per epoch = 2, each riding 1 pmean psum in plaintext or
+    # 2 shares x 2 limbs x 2 planes = 8 psums in share space.
+    exp_a2a = 4 if variant == "opt" else (2 if mpc else 3)
     exp_psum = 2 * (8 if mpc else 1)
     assert traced["all_to_all"] == exp_a2a
     assert traced["psum"] == exp_psum
+    if mpc and variant == "unopt":
+        # reference-faithful schedule (hoist disabled): layer-0 agg back
+        from cognn_tpu.mpc import MpcGasEngine
+
+        mesh = jax.make_mesh((2,), ("party",))
+        faithful = MpcGasEngine(plan, param, variant, mode="sharded",
+                                mesh=mesh, hoist_agg=False)
+        tf_ = engine_epoch_comm(faithful)["rounds"]
+        af = analytic_rounds_per_epoch(param, variant, mpc=True, limbs=2,
+                                       hoist_agg=False)
+        assert tf_["all_to_all"] == af["all_to_all"] == 3
 
 
 def test_duration_grid_reference_shape():

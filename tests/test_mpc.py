@@ -417,10 +417,11 @@ def test_matmul_prepped_bit_identical():
                                       np.asarray(direct), err_msg=path)
 
 
-def test_x0_prep_wired_into_opt_engines():
-    """The opt engines carry the hoisted x0 prep as plan-array arguments
-    (fwd for both variants, bwd only for training), and unopt engines do
-    not (their layer-0 operand is the aggregated ah, not static x0)."""
+def test_x0_prep_wired_into_engines():
+    """Every engine variant carries the hoisted loop-invariant layer-0
+    prep as plan-array arguments: opt preps static x0 itself (fwd matmul +
+    bwd weight gradient); unopt additionally hoists the full-width
+    aggregation agg(x0) — its layer-0 matmul operand — as ah0."""
     src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
     param = make_param(32, feats.shape[1], labels.max() + 1)
     graphs = build_parties(src, dst, feats, labels, 2)
@@ -429,31 +430,49 @@ def test_x0_prep_wired_into_opt_engines():
     inf = MpcGasEngine(build_device_plan(graphs), param, "opt_inference")
     assert set(inf.arr.x0p) == {"fwd"}
     unopt = MpcGasEngine(build_device_plan(graphs), param, "unopt")
-    assert not unopt.arr.x0p
+    assert set(unopt.arr.x0p) == {"ah0", "fwd", "bwd"}
+    uinf = MpcGasEngine(build_device_plan(graphs), param,
+                        "unopt_inference")
+    assert set(uinf.arr.x0p) == {"ah0", "fwd"}
 
 
 def test_d_tiled_bcsr_mpc_matches_sparse():
-    """D-tiled byte-plane bcsr aggregation (wide-width chunking past the
-    supertile VMEM budget, r5) is bit-identical to the sparse OGA — the
-    unopt full-input-width schedule exercises the chunked path."""
+    """Wide-width byte-plane bcsr aggregation past the supertile VMEM
+    budget (r5) is bit-identical to the sparse OGA — the unopt
+    full-input-width schedule exercises BOTH wide paths: the supertiled
+    kernel's INTERNAL 2D-grid D-tiling (A blocks stream once) and the
+    one-block kernel's call-level feature chunking."""
     from unittest import mock
+
+    from cognn_tpu.ops.pallas_spmm import PallasSpmm, PallasSpmmTiled
 
     src, dst, feats, labels = make_dataset(n=40, m=200, d=10,
                                            homophily=0.7)
     param = make_param(40, feats.shape[1], labels.max() + 1)
     graphs = build_parties(src, dst, feats, labels, 2)
     sparse = MpcGasEngine(build_device_plan(graphs), param, "unopt")
+    ms = sparse.metrics_host(sparse.run_epochs(2))
     with mock.patch("cognn_tpu.engine.gas.VMEM_TILE_BUDGET", 128 << 10), \
             mock.patch("cognn_tpu.engine.gas.BCSR_TILED_NNZB", 1):
         tiled = MpcGasEngine(build_device_plan(graphs), param, "unopt",
                              aggregation="bcsr")
-    assert tiled._agg_d_tile == 4  # (128KiB / (4*128*4)) // 16 planes
-    ms = sparse.metrics_host(sparse.run_epochs(2))
+    kern = tiled.arr.agg["bcsr_kernel"]
+    assert isinstance(kern, PallasSpmmTiled)
+    assert kern.d_tile == 64  # 16 planes x feature-tile 4 rows
+    assert tiled._agg_d_tile is None  # kernel-internal tiling
     mt = tiled.metrics_host(tiled.run_epochs(2))
     np.testing.assert_array_equal(mt["loss"], ms["loss"])
     for l in range(2):
         np.testing.assert_array_equal(tiled.reveal_weights()[l],
                                       sparse.reveal_weights()[l])
+    # one-block kernel (small nnzb): call-level feature chunking
+    with mock.patch("cognn_tpu.engine.gas.VMEM_TILE_BUDGET", 128 << 10):
+        chunked = MpcGasEngine(build_device_plan(graphs), param, "unopt",
+                               aggregation="bcsr")
+    assert isinstance(chunked.arr.agg["bcsr_kernel"], PallasSpmm)
+    assert chunked._agg_d_tile == 4
+    mc = chunked.metrics_host(chunked.run_epochs(2))
+    np.testing.assert_array_equal(mc["loss"], ms["loss"])
 
 
 def test_d_tiled_sharded_bcsr_matches_stacked():
@@ -475,6 +494,7 @@ def test_d_tiled_sharded_bcsr_matches_stacked():
                                mode="sharded", mesh=mesh,
                                aggregation="bcsr")
     assert sharded._agg_d_tile == 4
+    assert sharded._bcsr_sharded_meta[0] == "tiled"  # -> one_wide path
     ms = stacked.metrics_host(stacked.run_epochs(2))
     mh = sharded.metrics_host(sharded.run_epochs(2))
     np.testing.assert_array_equal(mh["loss"], ms["loss"])
@@ -504,3 +524,48 @@ def test_sharded_mpc_odd_party_counts(n_parties):
         np.testing.assert_array_equal(
             np.asarray(jax.device_get(sharded.reveal_weights()[l])),
             stacked.reveal_weights()[l])
+
+
+def test_bitdecomp_sign_mask_matches_reconstruct():
+    """nonlinear='bitdecomp' extracts the sign via the limb carry circuit
+    on the two shares WITHOUT materializing x = a + b; the mask must be
+    bit-identical to the reconstruct path — including exact zeros and the
+    most-negative encodings — for both ring widths."""
+    from cognn_tpu.core.fixedpoint import FixedPointSpec
+    from cognn_tpu.core.ring import RING32, RING64
+
+    for spec in (FixedPointSpec(), FixedPointSpec(ring=RING32, frac_bits=8)):
+        rec = Protocol(spec)
+        bd = Protocol(spec, nonlinear="bitdecomp")
+        x = jnp.asarray(
+            np.concatenate([RNG.uniform(-50, 50, 200),
+                            np.zeros(8), [-2e-5, 2e-5, -1e9, 1e9]]),
+            jnp.float32)
+        for seed in range(3):
+            sh = rec.share(jax.random.key(seed), x)
+            np.testing.assert_array_equal(
+                np.asarray(bd.sign_mask(sh)),
+                np.asarray(rec.sign_mask(sh)),
+                err_msg=f"bits={spec.ring.bits} seed={seed}")
+            # MIN family rides the same comparison
+            sh2 = rec.share(jax.random.key(100 + seed), -x)
+            np.testing.assert_array_equal(
+                np.asarray(bd.minimum(sh, sh2)[0]),
+                np.asarray(rec.minimum(sh, sh2)[0]))
+
+
+def test_bitdecomp_engine_training_matches_reconstruct():
+    """An engine running every sign/comparison in bitdecomp mode trains
+    bit-identically to the reconstruct default (same keys -> same shares)."""
+    src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
+    param = make_param(32, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    a = MpcGasEngine(build_device_plan(graphs), param)
+    b = MpcGasEngine(build_device_plan(graphs), param,
+                     nonlinear="bitdecomp")
+    ma = a.metrics_host(a.run_epochs(2))
+    mb = b.metrics_host(b.run_epochs(2))
+    np.testing.assert_array_equal(mb["loss"], ma["loss"])
+    for l in range(2):
+        np.testing.assert_array_equal(b.reveal_weights()[l],
+                                      a.reveal_weights()[l])

@@ -39,8 +39,16 @@ def breakdown(logdir: Path, dataset: str, iters_per_epoch: int):
                 # one-shot phases (load/preprocess/compile): total
                 per_epoch = sum(vals)
             per_tag[tag] = per_tag.get(tag, 0.0) + per_epoch
-    return ({t: v / n_parties for t, v in per_tag.items()}
-            if n_parties else {})
+    out = ({t: v / n_parties for t, v in per_tag.items()}
+           if n_parties else {})
+    # device-trace per-phase companions (tools/profile_mpc_epoch.py
+    # --breakdown-log): reference-granularity per-EPOCH span values for
+    # the phases a compiled epoch hides from host timing (Tables 7-12
+    # role; `ss_vertex_centric_algo_kernel.h:745-897` tag set)
+    for bf in sorted(logdir.glob(f"*{dataset}*.breakdown")):
+        for tag, vals in parse_party_log(bf)["durations"].items():
+            out[tag] = sum(vals) / len(vals)
+    return out
 
 
 def print_markdown(rows, tags):
