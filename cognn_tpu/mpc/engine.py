@@ -338,27 +338,45 @@ class MpcGasEngine:
         self._bcsr_sharded_meta = None
         self._agg_d_tile = None
         if aggregation == "dense":
-            if mode != "stacked":
-                raise ValueError("dense mpc aggregation is stacked-only")
             from cognn_tpu.engine.gas import flat_dense_adjacency
 
             flat = flat_dense_adjacency(plan)
             if flat.max() > 256:
                 raise ValueError("edge multiplicity > 256 breaks bf16 "
                                  "exactness of the dense share aggregation")
-            # f32 accumulation in _dense_agg_shares is exact only while
-            # 255 * (total in-edge count of a destination, ALL source
-            # parties combined) < 2^24; _check_segment_widths caps counts
-            # per source party only, so with P >= 3 a destination could
-            # legally exceed this — validate the flattened column sums.
-            max_in = float(flat.sum(axis=0).max())
-            if max_in * 255 >= (1 << 24):
-                raise ValueError(
-                    f"a destination accumulates {int(max_in)} in-edges "
-                    "across all parties; 255 * count >= 2^24 overflows the "
-                    "f32 mantissa in the dense byte-plane share aggregation "
-                    "(use aggregation='sparse')")
-            agg_operands = {"flat_adj_bf16": jnp.asarray(flat, jnp.bfloat16)}
+            if mode != "stacked":
+                # sharded dense: each party owns its [V x P*V] source-row
+                # slab; its f32 partial sums recombine to ring BEFORE the
+                # cross-party ring-add (halo), so the mantissa bound
+                # applies per SOURCE party — the dense twin of the
+                # sharded bcsr path
+                Pn, Vn = plan.num_parties, plan.V
+                rows = flat.reshape(Pn, Vn, Pn * Vn)
+                max_in = float(rows.sum(axis=1).max())
+                if max_in * 255 >= (1 << 24):
+                    raise ValueError(
+                        f"a party sends {int(max_in)} in-edges to one "
+                        "destination; 255 * count >= 2^24 overflows the "
+                        "f32 mantissa (use aggregation='sparse')")
+                agg_operands = {"dense_rows_bf16": jnp.asarray(
+                    rows, jnp.bfloat16)}
+            else:
+                # f32 accumulation in _dense_agg_shares is exact only
+                # while 255 * (total in-edge count of a destination, ALL
+                # source parties combined) < 2^24; _check_segment_widths
+                # caps counts per source party only, so with P >= 3 a
+                # destination could legally exceed this — validate the
+                # flattened column sums.
+                max_in = float(flat.sum(axis=0).max())
+                if max_in * 255 >= (1 << 24):
+                    raise ValueError(
+                        f"a destination accumulates {int(max_in)} "
+                        "in-edges across all parties; 255 * count >= 2^24 "
+                        "overflows the f32 mantissa in the dense "
+                        "byte-plane share aggregation (use "
+                        "aggregation='sparse')")
+                agg_operands = {
+                    "flat_adj_bf16": jnp.asarray(flat, jnp.bfloat16)}
         elif aggregation == "bcsr":
             from cognn_tpu.engine.gas import _party_edges
             from cognn_tpu.ops.bcsr import build_bcsr
@@ -901,6 +919,28 @@ class MpcGasEngine:
             upd = jnp.stack([one(i) for i in range(Pl)], axis=2)
             send = upd.reshape(S, L, Pl, P, V, D)
             recv = comm.halo(send)  # [S, L, Pl, P, V, D]
+            total = recv[:, :, :, 0]
+            for j in range(1, P):
+                total = self.proto.add(total, recv[:, :, :, j])
+            agg = self.proto.add(sh, total)
+            if dest_scale:
+                key, k = jax.random.split(key)
+                agg = self._scale_rows(k, agg, n0_fp)
+            return agg
+
+        if "dense_rows_bf16" in arr.agg:
+            # sharded dense MXU path: party-local [V x P*V] byte-plane
+            # matmul (f32-exact per SOURCE party, guard at init) -> ring
+            # recombine -> halo -> ring-add — the dense twin of the
+            # sharded bcsr path above
+            S, L = sh.shape[:2]
+            Pl = sh.shape[2]
+            upd = jnp.stack(
+                [_dense_agg_shares(arr.agg["dense_rows_bf16"][i],
+                                   sh[:, :, i]) for i in range(Pl)],
+                axis=2)  # [S, L, Pl, P*V, D]
+            send = upd.reshape(S, L, Pl, P, V, D)
+            recv = comm.halo(send)
             total = recv[:, :, :, 0]
             for j in range(1, P):
                 total = self.proto.add(total, recv[:, :, :, j])

@@ -569,3 +569,26 @@ def test_bitdecomp_engine_training_matches_reconstruct():
     for l in range(2):
         np.testing.assert_array_equal(b.reveal_weights()[l],
                                       a.reveal_weights()[l])
+
+
+def test_sharded_dense_mpc_matches_stacked_sparse():
+    """Sharded dense byte-plane share aggregation (r5 — was an explicit
+    stacked-only raise): per-party [V x P*V] MXU matmul -> ring -> halo ->
+    ring-add, bit-identical to stacked sparse training."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    src, dst, feats, labels = make_dataset(n=40, m=200, homophily=0.7)
+    param = make_param(40, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    stacked = MpcGasEngine(build_device_plan(graphs), param)
+    mesh = jax.make_mesh((2,), ("party",))
+    sharded = MpcGasEngine(build_device_plan(graphs), param,
+                           mode="sharded", mesh=mesh, aggregation="dense")
+    assert "dense_rows_bf16" in sharded.arr.agg
+    ms = stacked.metrics_host(stacked.run_epochs(2))
+    mh = sharded.metrics_host(sharded.run_epochs(2))
+    np.testing.assert_array_equal(mh["loss"], ms["loss"])
+    for l in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(sharded.reveal_weights()[l])),
+            stacked.reveal_weights()[l])

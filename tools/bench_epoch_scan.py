@@ -42,6 +42,9 @@ def main():
                          "2L-phase epochs)")
     ap.add_argument("--epochs-budget", type=float, default=0.5,
                     help="minimum honest wall window in seconds")
+    ap.add_argument("--no-hoist", action="store_true",
+                    help="disable the mpc engines' loop-invariant layer-0 "
+                         "hoists (reference-faithful unopt schedule)")
     args = ap.parse_args()
 
     import jax
@@ -93,7 +96,8 @@ def main():
             if agg not in ("auto", "sparse", "dense", "bcsr"):
                 log(f"[{agg}] skipped: mpc supports auto/sparse/dense/bcsr")
                 continue
-            eng = MpcGasEngine(plan, ds.param, variant, aggregation=agg)
+            eng = MpcGasEngine(plan, ds.param, variant, aggregation=agg,
+                               hoist_agg=not args.no_hoist)
             sync_arr = lambda: eng.weights_sh[0]  # noqa: E731
             if args.forward:
                 run = lambda: eng.forward()  # noqa: E731

@@ -55,12 +55,12 @@ from cognn_tpu.engine.comm_model import (  # noqa: E402
 from cognn_tpu.harness.datasets import synthetic_planetoid  # noqa: E402
 
 
-def measure_compute(ds, plan, variant, mpc, budget=0.5):
+def measure_compute(ds, plan, variant, mpc, budget=0.5, hoist_agg=True):
     """Honest stacked per-epoch (or per-forward) seconds on this backend."""
     if mpc:
         from cognn_tpu.mpc import MpcGasEngine
 
-        eng = MpcGasEngine(plan, ds.param, variant)
+        eng = MpcGasEngine(plan, ds.param, variant, hoist_agg=hoist_agg)
         sync = lambda: eng.weights_sh[0]  # noqa: E731
     else:
         eng = GasEngine(plan, ds.param, variant)
@@ -125,6 +125,12 @@ def main():
     ap.add_argument("--json", default=None, metavar="FILE",
                     help="also dump the grids as JSON")
     ap.add_argument("--planetoid-root", default=None)
+    ap.add_argument("--faithful-unopt", action="store_true",
+                    help="disable the mpc engines' loop-invariant agg(x0) "
+                         "hoist for unopt variants, restoring the "
+                         "reference-faithful per-epoch schedule (its "
+                         "f-wide layer-0 halo ships EVERY epoch — the "
+                         "paper's Tables 1/2 comparison)")
     args = ap.parse_args()
 
     if args.planetoid_root:
@@ -144,10 +150,11 @@ def main():
     graphs = build_graphs(ds, args.parties)
     plan = build_device_plan(graphs, reorder=args.reorder)
     for variant in args.variants.split(","):
+        hoist = not (args.faithful_unopt and variant.startswith("unopt"))
         backend = resolve_sharded_backend(plan, args.mpc, args.aggregation,
                                           param=ds.param, variant=variant)
         comm = traced_comm(plan, ds.param, variant, args.mpc, args.parties,
-                           backend)
+                           backend, hoist_agg=hoist)
         if comm is None:
             print(f"[{variant}] comm tracing unavailable", file=sys.stderr)
             continue
@@ -155,11 +162,13 @@ def main():
             comp = compute_ms[variant] * 1e-3
             src = "provided"
         else:
-            comp = measure_compute(ds, plan, variant, args.mpc)
+            comp = measure_compute(ds, plan, variant, args.mpc,
+                                   hoist_agg=hoist)
             src = f"measured on {jax.default_backend()}"
         title = (f"{args.dataset} {args.parties}p "
                  f"{'mpc' if args.mpc else 'plaintext'} {variant} "
-                 f"[{backend} sharded; compute {src}]")
+                 f"[{backend} sharded; compute {src}"
+                 + ("; faithful schedule" if not hoist else "") + "]")
         md, g = grid_markdown(title, comp, comm["bytes"]["total"],
                               comm["rounds"]["total"])
         print(md)

@@ -95,7 +95,7 @@ def resolve_sharded_backend(plan, mpc, aggregation, param=None,
 
 
 def _traced_comm_subprocess(ds, variant, mpc, n_parties, aggregation,
-                            reorder):
+                            reorder, hoist_agg=True):
     """Trace in a fresh CPU-only subprocess (used when this process runs
     on the TPU, where the virtual-CPU-mesh config cannot be applied).
     Ships the dataset through a temp npz + param json."""
@@ -113,7 +113,8 @@ def _traced_comm_subprocess(ds, variant, mpc, n_parties, aggregation,
                  cfg=json.dumps({"variant": variant, "mpc": mpc,
                                  "n_parties": n_parties,
                                  "aggregation": aggregation,
-                                 "reorder": reorder}))
+                                 "reorder": reorder,
+                                 "hoist_agg": hoist_agg}))
         env = {**os.environ, "PALLAS_AXON_POOL_IPS": "",
                "JAX_PLATFORMS": "cpu",
                "JAX_NUM_CPU_DEVICES": str(max(8, n_parties))}
@@ -146,12 +147,13 @@ def _trace_worker(path):
     graphs = build_graphs(ds, cfg["n_parties"])
     plan = build_device_plan(graphs, reorder=cfg["reorder"])
     res = traced_comm(plan, param, cfg["variant"], cfg["mpc"],
-                      cfg["n_parties"], cfg["aggregation"], ds=None)
+                      cfg["n_parties"], cfg["aggregation"], ds=None,
+                      hoist_agg=cfg.get("hoist_agg", True))
     print(json.dumps(res))
 
 
 def traced_comm(plan, param, variant, mpc, n_parties, aggregation,
-                ds=None, reorder=False):
+                ds=None, reorder=False, hoist_agg=True):
     """Measured per-party collective bytes AND rounds per epoch: trace the
     SHARDED training program's jaxpr over a CPU device mesh (works even
     when the default backend is a single TPU chip — tracing runs no device
@@ -169,14 +171,16 @@ def traced_comm(plan, param, variant, mpc, n_parties, aggregation,
         if len(cpus) < n_parties:
             if ds is not None:
                 return _traced_comm_subprocess(
-                    ds, variant, mpc, n_parties, aggregation, reorder)
+                    ds, variant, mpc, n_parties, aggregation, reorder,
+                    hoist_agg)
             return None
         mesh = jax.sharding.Mesh(np.array(cpus[:n_parties]), ("party",))
         if mpc:
             from cognn_tpu.mpc import MpcGasEngine
 
             eng = MpcGasEngine(plan, param, variant, mode="sharded",
-                               mesh=mesh, aggregation=aggregation)
+                               mesh=mesh, aggregation=aggregation,
+                               hoist_agg=hoist_agg)
         else:
             eng = GasEngine(plan, param, variant, mode="sharded", mesh=mesh,
                             aggregation=aggregation)
