@@ -294,7 +294,8 @@ def agg_width(param: GNNParam, variant: str) -> int:
                else _opt_agg_dims(dims))
 
 
-def _pick_bcsr_kernel(m, rhs_rows: int = 8, d_tile_rows: int | None = None):
+def _pick_bcsr_kernel(m, rhs_rows: int = 8, d_tile_rows: int | None = None,
+                      vals_dtype=None):
     """Measured-best Pallas SpMM variant for a BCSR structure (TPU v5e,
     tools/bench_spmm.py): the one-block-per-step kernel pipelines fine on
     small streams but collapses to ~33 us/step DMA latency at GB-scale
@@ -312,8 +313,10 @@ def _pick_bcsr_kernel(m, rhs_rows: int = 8, d_tile_rows: int | None = None):
                 f"bcsr supertiles for a {rhs_rows}-row RHS do not fit VMEM "
                 "(aggregation width too large for the byte-plane/supertile "
                 "layout at this scale); use aggregation='sparse'")
-        return PallasSpmmTiled(m, G=32, C=c, Cd=c, d_tile=d_tile_rows)
-    return PallasSpmm(m)
+        kw = {} if vals_dtype is None else {"vals_dtype": vals_dtype}
+        return PallasSpmmTiled(m, G=32, C=c, Cd=c, d_tile=d_tile_rows, **kw)
+    kw = {} if vals_dtype is None else {"vals_dtype": vals_dtype}
+    return PallasSpmm(m, **kw)
 
 
 def _build_bcsr_sharded(plan: DevicePlan, rhs_rows: int = 8):

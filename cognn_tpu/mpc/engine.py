@@ -45,6 +45,12 @@ _U32 = jnp.uint32
 # only by tools/repro_tpu_fusion_bug.py
 _SPARSE_AGG_BARRIER = True
 
+# int8 vals for the Pallas bcsr share kernels (halves the A stream).
+# Parity-tested in interpret mode; enable-by-default is pending a real-TPU
+# Mosaic s8-matmul validation (tools/bench_spmm.py / bench_epoch_scan) —
+# the dense XLA i8 path has no such gate.
+_BCSR_I8 = False
+
 
 def _select_mpc_backend(plan: DevicePlan, mode: str,
                         backend: str | None = None,
@@ -191,15 +197,18 @@ def _dense_agg_shares(adj_bf16: jnp.ndarray, sh_flat: jnp.ndarray
 def _expand_byte_planes(sh_flat: jnp.ndarray, dtype) -> jnp.ndarray:
     """uint32 shares [S, L, V, D] -> plane-major rows [S*L*4*D, V]: each
     32-bit limb split into four byte planes (values <= 255, exact in bf16
-    and f32)."""
+    and f32). ``dtype=jnp.int8`` applies a -128 offset (s8 MXU operand;
+    callers correct with the static +128*colsum(A) identity)."""
     S, L, V, D = sh_flat.shape
+    i8 = dtype == jnp.int8
     planes = []
     for s in range(S):
         for l in range(L):
             word = sh_flat[s, l]
             for b in range(4):
-                planes.append(((word >> _U32(8 * b)) & _U32(0xFF))
-                              .astype(dtype))
+                p = ((word >> _U32(8 * b)) & _U32(0xFF)).astype(jnp.int32)
+                planes.append((p - 128).astype(jnp.int8) if i8
+                              else p.astype(dtype))
     return jnp.concatenate(planes, axis=-1).T
 
 
@@ -220,8 +229,26 @@ def _recombine_byte_planes(out_t: jnp.ndarray, S: int, L: int
     return jnp.stack(acc)
 
 
+def _dense_agg_shares_i8(adj_i8: jnp.ndarray, colsum_i32: jnp.ndarray,
+                         sh_flat: jnp.ndarray) -> jnp.ndarray:
+    """`_dense_agg_shares` on the int8 MXU path: HALF the adjacency stream
+    (the dominant traffic of the dense OGA) and a LOOSER exactness bound
+    (s32 accumulate: indeg * 255 < 2^31 vs the f32-mantissa 2^24).
+    Requires edge multiplicity <= 127 (s8 counts). Planes ride with a
+    -128 offset; A^T@x = A^T@(x-128) + 128*colsum(A) with the static
+    column-sum vector."""
+    S, L, V, D = sh_flat.shape
+    rhs = _expand_byte_planes(sh_flat, jnp.int8).T  # [V, S*L*4*D] s8
+    out = jax.lax.dot_general(adj_i8, rhs, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = out + 128 * colsum_i32[:, None]  # nonneg ints < 2^31: u32-exact
+    return _recombine_byte_planes(
+        out.reshape(out.shape[0], S * L * 4, D), S, L)
+
+
 def _bcsr_agg_shares(kern, sh_flat: jnp.ndarray,
-                     d_tile: int | None = None) -> jnp.ndarray:
+                     d_tile: int | None = None,
+                     colsum_i32: jnp.ndarray | None = None) -> jnp.ndarray:
     """Exact mod-2^(32L) share aggregation upd = A^T @ sh on the Pallas
     block-sparse SpMM — the dense byte-plane trick (`_dense_agg_shares`)
     at block-sparse scale (PubMed-class graphs where the flat (P·V)^2
@@ -242,15 +269,21 @@ def _bcsr_agg_shares(kern, sh_flat: jnp.ndarray,
         pad = (-D) % d_tile
         padded = jnp.pad(sh_flat, ((0, 0),) * 3 + ((0, pad),))
         outs = [
-            _bcsr_agg_shares(kern, padded[..., d0:d0 + d_tile])
+            _bcsr_agg_shares(kern, padded[..., d0:d0 + d_tile],
+                             colsum_i32=colsum_i32)
             for d0 in range(0, D + pad, d_tile)
         ]
         return jnp.concatenate(outs, axis=-1)[..., :D]
-    ht = _expand_byte_planes(sh_flat, jnp.float32)  # [S*L*4*D, V]
+    i8 = colsum_i32 is not None
+    ht = _expand_byte_planes(sh_flat,
+                             jnp.int8 if i8 else jnp.float32)
     width = kern.n_src_blocks * BLOCK
     if width != V:
         ht = jnp.pad(ht, ((0, 0), (0, width - V)))
-    out = kern(ht)[:, :V]  # f32 exact
+    out = kern(ht)[:, :V]  # exact: f32 under the 2^24 guard, s32 under 2^31
+    if i8:
+        # planes rode with a -128 offset: A@x = A@(x-128) + 128*colsum(A)
+        out = out + 128 * colsum_i32[None, :]
     return _recombine_byte_planes(out.T.reshape(V, S * L * 4, D), S, L)
 
 
@@ -346,37 +379,51 @@ class MpcGasEngine:
                                  "exactness of the dense share aggregation")
             if mode != "stacked":
                 # sharded dense: each party owns its [V x P*V] source-row
-                # slab; its f32 partial sums recombine to ring BEFORE the
-                # cross-party ring-add (halo), so the mantissa bound
+                # slab; its partial sums recombine to ring BEFORE the
+                # cross-party ring-add (halo), so the accumulation bound
                 # applies per SOURCE party — the dense twin of the
                 # sharded bcsr path
                 Pn, Vn = plan.num_parties, plan.V
                 rows = flat.reshape(Pn, Vn, Pn * Vn)
                 max_in = float(rows.sum(axis=1).max())
-                if max_in * 255 >= (1 << 24):
+                if flat.max() <= 127 and max_in * 255 < (1 << 31):
+                    # int8 MXU path: half the adjacency stream, s32-exact
+                    agg_operands = {
+                        "dense_rows_i8": jnp.asarray(rows, jnp.int8),
+                        "dense_colsum_i32": jnp.asarray(
+                            rows.sum(axis=1), jnp.int32)}  # [P, P*V]
+                elif max_in * 255 < (1 << 24):
+                    agg_operands = {"dense_rows_bf16": jnp.asarray(
+                        rows, jnp.bfloat16)}
+                else:
                     raise ValueError(
                         f"a party sends {int(max_in)} in-edges to one "
                         "destination; 255 * count >= 2^24 overflows the "
                         "f32 mantissa (use aggregation='sparse')")
-                agg_operands = {"dense_rows_bf16": jnp.asarray(
-                    rows, jnp.bfloat16)}
             else:
-                # f32 accumulation in _dense_agg_shares is exact only
-                # while 255 * (total in-edge count of a destination, ALL
-                # source parties combined) < 2^24; _check_segment_widths
-                # caps counts per source party only, so with P >= 3 a
-                # destination could legally exceed this — validate the
-                # flattened column sums.
+                # accumulation exactness is over the TOTAL in-edge count
+                # of a destination, ALL source parties combined
+                # (_check_segment_widths caps counts per source party
+                # only) — validate the flattened column sums. int8 MXU
+                # (mult <= 127, s32 accumulate < 2^31) preferred: half
+                # the adjacency stream AND a looser bound than the bf16
+                # path's f32 mantissa (2^24).
                 max_in = float(flat.sum(axis=0).max())
-                if max_in * 255 >= (1 << 24):
+                if flat.max() <= 127 and max_in * 255 < (1 << 31):
+                    agg_operands = {
+                        "flat_adj_i8": jnp.asarray(flat, jnp.int8),
+                        "flat_colsum_i32": jnp.asarray(
+                            flat.sum(axis=0), jnp.int32)}
+                elif max_in * 255 < (1 << 24):
+                    agg_operands = {
+                        "flat_adj_bf16": jnp.asarray(flat, jnp.bfloat16)}
+                else:
                     raise ValueError(
                         f"a destination accumulates {int(max_in)} "
                         "in-edges across all parties; 255 * count >= 2^24 "
                         "overflows the f32 mantissa in the dense "
                         "byte-plane share aggregation (use "
                         "aggregation='sparse')")
-                agg_operands = {
-                    "flat_adj_bf16": jnp.asarray(flat, jnp.bfloat16)}
         elif aggregation == "bcsr":
             from cognn_tpu.engine.gas import _party_edges
             from cognn_tpu.ops.bcsr import build_bcsr
@@ -418,18 +465,26 @@ class MpcGasEngine:
             else:
                 m = build_bcsr(np.concatenate(srcs), dsts_all,
                                Pn * Vn, Pn * Vn)
-                if m.vals.max() > 256:
-                    raise ValueError("edge multiplicity > 256 breaks bf16 "
-                                     "exactness of the bcsr share "
-                                     "aggregation")
                 max_in = (int(np.bincount(dsts_all).max())
                           if len(dsts_all) else 0)
-                if max_in * 255 >= (1 << 24):
-                    raise ValueError(
-                        f"a destination accumulates {max_in} in-edges; "
-                        "255 * count >= 2^24 overflows the f32 mantissa in "
-                        "the bcsr byte-plane share aggregation (use "
-                        "'sparse')")
+                mult = int(m.vals.max()) if m.nnzb else 0
+                # int8 vals (mult <= 127, s32 accumulate < 2^31) halve the
+                # dominant A-block stream vs bf16 AND loosen the bound
+                # past the f32 mantissa; planes then ride s8 with a -128
+                # offset corrected by the static column sums
+                i8_ok = (_BCSR_I8 and mult <= 127
+                         and max_in * 255 < (1 << 31))
+                if not i8_ok:
+                    if mult > 256:
+                        raise ValueError(
+                            "edge multiplicity > 256 breaks bf16 "
+                            "exactness of the bcsr share aggregation")
+                    if max_in * 255 >= (1 << 24):
+                        raise ValueError(
+                            f"a destination accumulates {max_in} "
+                            "in-edges; 255 * count >= 2^24 overflows the "
+                            "f32 mantissa in the bcsr byte-plane share "
+                            "aggregation (use 'sparse')")
                 from cognn_tpu.engine.gas import (_pick_bcsr_kernel,
                                                   agg_width)
                 from cognn_tpu.ops.pallas_spmm import PallasSpmmTiled
@@ -437,7 +492,8 @@ class MpcGasEngine:
                 planes = 2 * (fp or FixedPointSpec()).ring.limbs * 4
                 rows, dt = _plane_rows(planes, agg_width(param, variant))
                 kern = _pick_bcsr_kernel(
-                    m, rows, d_tile_rows=(rows if dt else None))
+                    m, rows, d_tile_rows=(rows if dt else None),
+                    vals_dtype=jnp.int8 if i8_ok else jnp.bfloat16)
                 # the supertiled kernel D-tiles INTERNALLY (A blocks
                 # stream once); only the one-block kernel needs the
                 # call-level feature chunking
@@ -445,6 +501,10 @@ class MpcGasEngine:
                                                        PallasSpmmTiled)
                                     else dt)
                 agg_operands = {"bcsr_kernel": kern}
+                if i8_ok:
+                    agg_operands["bcsr_colsum_i32"] = jnp.asarray(
+                        np.bincount(dsts_all, minlength=Pn * Vn
+                                    )[:Pn * Vn], jnp.int32)
         elif aggregation == "sparse":
             agg_operands = {}
         else:
@@ -928,17 +988,24 @@ class MpcGasEngine:
                 agg = self._scale_rows(k, agg, n0_fp)
             return agg
 
-        if "dense_rows_bf16" in arr.agg:
+        if "dense_rows_bf16" in arr.agg or "dense_rows_i8" in arr.agg:
             # sharded dense MXU path: party-local [V x P*V] byte-plane
-            # matmul (f32-exact per SOURCE party, guard at init) -> ring
+            # matmul (exactness guarded per SOURCE party at init) -> ring
             # recombine -> halo -> ring-add — the dense twin of the
             # sharded bcsr path above
             S, L = sh.shape[:2]
             Pl = sh.shape[2]
-            upd = jnp.stack(
-                [_dense_agg_shares(arr.agg["dense_rows_bf16"][i],
-                                   sh[:, :, i]) for i in range(Pl)],
-                axis=2)  # [S, L, Pl, P*V, D]
+            if "dense_rows_i8" in arr.agg:
+                upd = jnp.stack(
+                    [_dense_agg_shares_i8(arr.agg["dense_rows_i8"][i],
+                                          arr.agg["dense_colsum_i32"][i],
+                                          sh[:, :, i])
+                     for i in range(Pl)], axis=2)
+            else:
+                upd = jnp.stack(
+                    [_dense_agg_shares(arr.agg["dense_rows_bf16"][i],
+                                       sh[:, :, i]) for i in range(Pl)],
+                    axis=2)  # [S, L, Pl, P*V, D]
             send = upd.reshape(S, L, Pl, P, V, D)
             recv = comm.halo(send)
             total = recv[:, :, :, 0]
@@ -956,11 +1023,16 @@ class MpcGasEngine:
             # the flattened (party, vertex) axis
             S, L = sh.shape[:2]
             flat = sh.reshape(S, L, P * V, D)
-            if "flat_adj_bf16" in arr.agg:
+            if "flat_adj_i8" in arr.agg:
+                upd = _dense_agg_shares_i8(arr.agg["flat_adj_i8"],
+                                           arr.agg["flat_colsum_i32"],
+                                           flat)
+            elif "flat_adj_bf16" in arr.agg:
                 upd = _dense_agg_shares(arr.agg["flat_adj_bf16"], flat)
             else:
                 upd = _bcsr_agg_shares(arr.agg["bcsr_kernel"], flat,
-                                       self._agg_d_tile)
+                                       self._agg_d_tile,
+                                       arr.agg.get("bcsr_colsum_i32"))
             agg = self.proto.add(sh, upd.reshape(sh.shape))
             if dest_scale:
                 key, k = jax.random.split(key)

@@ -54,10 +54,11 @@ def _spmm_call(first, bi, bj, ht, vals, n_dst_blocks: int,
         out_specs=pl.BlockSpec((D, BLOCK),
                                lambda k, first, bi, bj: (0, bj[k])),
     )
+    od = jnp.int32 if ht.dtype == jnp.int8 else ht.dtype
     return pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((D, n_dst_blocks * BLOCK), ht.dtype),
+        out_shape=jax.ShapeDtypeStruct((D, n_dst_blocks * BLOCK), od),
         interpret=interpret,
     )(first, bi, bj, ht, vals)
 
@@ -88,7 +89,8 @@ def _register_kernel_pytree(cls, data_attrs, meta_attrs):
 class PallasSpmm:
     """Bound kernel for a fixed BCSR structure (static per device plan)."""
 
-    def __init__(self, m: BcsrMatrix, interpret: bool | None = None):
+    def __init__(self, m: BcsrMatrix, interpret: bool | None = None,
+                 vals_dtype=jnp.bfloat16):
         self.m = m
         self.n_src_blocks = m.n_src_blocks
         bi, bj, vals = m.bi, m.bj, m.vals
@@ -108,9 +110,10 @@ class PallasSpmm:
         self.first = jnp.asarray(first)
         self.bi = jnp.asarray(bi)
         self.bj = jnp.asarray(bj)
-        # A entries are small integer edge counts — exact in bf16, and the
-        # stream of A blocks dominates kernel bandwidth, so halve it.
-        self.vals = jnp.asarray(vals, jnp.bfloat16)
+        # A entries are small integer edge counts — exact in bf16 (and in
+        # int8 when <= 127); the A-block stream dominates kernel
+        # bandwidth, so the narrowest exact dtype wins.
+        self.vals = jnp.asarray(vals, vals_dtype)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
@@ -187,16 +190,18 @@ def _tiled_call(first, oi, hi, bil, bjl, ht, vals, G: int, C: int, Cd: int,
                              lambda g, first, oi, hi, bil, bjl: (hi[g], 0, 0))
         out_spec = pl.BlockSpec(
             (Cd, D, BLOCK), lambda g, first, oi, hi, bil, bjl: (oi[g], 0, 0))
-        out_shape = jax.ShapeDtypeStruct((n_dst_chunks * Cd, D, BLOCK),
-                                         ht.dtype)
+        out_shape = jax.ShapeDtypeStruct(
+            (n_dst_chunks * Cd, D, BLOCK),
+            jnp.int32 if ht.dtype == jnp.int8 else ht.dtype)
     else:
         D = ht.shape[0]  # ht: [D, n_src_chunks*C*BLOCK]
         in_ht = pl.BlockSpec((D, C * BLOCK),
                              lambda g, first, oi, hi, bil, bjl: (0, hi[g]))
         out_spec = pl.BlockSpec(
             (D, Cd * BLOCK), lambda g, first, oi, hi, bil, bjl: (0, oi[g]))
-        out_shape = jax.ShapeDtypeStruct((D, n_dst_chunks * Cd * BLOCK),
-                                         ht.dtype)
+        out_shape = jax.ShapeDtypeStruct(
+            (D, n_dst_chunks * Cd * BLOCK),
+            jnp.int32 if ht.dtype == jnp.int8 else ht.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,  # first, oi, hi, bil, bjl
         grid=(n_groups,),
@@ -244,8 +249,9 @@ def _tiled_wide_call(first, oi, hi, bil, bjl, ht, vals, G: int, C: int,
     return pl.pallas_call(
         _tiled_kernel(G, True),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_dst_chunks * Cd, D, BLOCK),
-                                       ht.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_dst_chunks * Cd, D, BLOCK),
+            jnp.int32 if ht.dtype == jnp.int8 else ht.dtype),
         interpret=interpret,
     )(first, oi, hi, bil, bjl, ht, vals)
 
@@ -261,8 +267,9 @@ class PallasSpmmTiled:
 
     def __init__(self, m: BcsrMatrix, G: int = 8, C: int = 16, Cd: int = 16,
                  block_major: bool = True, interpret: bool | None = None,
-                 d_tile: int | None = None):
+                 d_tile: int | None = None, vals_dtype=jnp.bfloat16):
         self.d_tile = d_tile
+        self._vals_dtype = vals_dtype
         self.m, self.G, self.C, self.Cd = m, G, C, Cd
         self.block_major = block_major
         self.n_src_blocks, self.n_dst_blocks = m.n_src_blocks, m.n_dst_blocks
@@ -318,7 +325,8 @@ class PallasSpmmTiled:
         self.hi = jnp.asarray(his)
         self.bil = jnp.asarray(bil2)
         self.bjl = jnp.asarray(bjl2)
-        self.vals = jnp.asarray(v2.reshape(-1, BLOCK, BLOCK), jnp.bfloat16)
+        self.vals = jnp.asarray(v2.reshape(-1, BLOCK, BLOCK),
+                                getattr(self, "_vals_dtype", jnp.bfloat16))
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret

@@ -584,7 +584,7 @@ def test_sharded_dense_mpc_matches_stacked_sparse():
     mesh = jax.make_mesh((2,), ("party",))
     sharded = MpcGasEngine(build_device_plan(graphs), param,
                            mode="sharded", mesh=mesh, aggregation="dense")
-    assert "dense_rows_bf16" in sharded.arr.agg
+    assert "dense_rows_i8" in sharded.arr.agg  # r5 int8 MXU default
     ms = stacked.metrics_host(stacked.run_epochs(2))
     mh = sharded.metrics_host(sharded.run_epochs(2))
     np.testing.assert_array_equal(mh["loss"], ms["loss"])
@@ -592,3 +592,50 @@ def test_sharded_dense_mpc_matches_stacked_sparse():
         np.testing.assert_array_equal(
             np.asarray(jax.device_get(sharded.reveal_weights()[l])),
             stacked.reveal_weights()[l])
+
+
+def test_high_multiplicity_dense_falls_back_to_bf16():
+    """Edge multiplicity > 127 exceeds s8 counts: the dense share
+    aggregation falls back to the bf16 byte-plane path (guarded by the
+    f32-mantissa bound) and stays bit-identical to sparse."""
+    src, dst, feats, labels = make_dataset(n=32, m=160, homophily=0.7)
+    # duplicate one edge 200x (multiplicity 201 > 127, still <= 256)
+    src = np.concatenate([src, np.full(200, src[0])])
+    dst = np.concatenate([dst, np.full(200, dst[0])])
+    param = make_param(32, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    sparse = MpcGasEngine(build_device_plan(graphs), param)
+    dense = MpcGasEngine(build_device_plan(graphs, dense=True), param,
+                         aggregation="dense")
+    assert "flat_adj_bf16" in dense.arr.agg
+    ms = sparse.metrics_host(sparse.run_epochs(2))
+    md = dense.metrics_host(dense.run_epochs(2))
+    np.testing.assert_array_equal(md["loss"], ms["loss"])
+
+
+def test_bcsr_i8_vals_match_sparse():
+    """int8-vals bcsr share aggregation (s8 planes with -128 offset +
+    static colsum correction) is bit-identical to sparse — both kernel
+    variants (interpret mode; TPU enable gated on _BCSR_I8)."""
+    from unittest import mock
+
+    src, dst, feats, labels = make_dataset(n=40, m=200, homophily=0.7)
+    param = make_param(40, feats.shape[1], labels.max() + 1)
+    graphs = build_parties(src, dst, feats, labels, 2)
+    sparse = MpcGasEngine(build_device_plan(graphs), param)
+    ms = sparse.metrics_host(sparse.run_epochs(2))
+    import cognn_tpu.mpc.engine as eng_mod
+
+    for tiled_thresh in (10**9, 1):
+        with mock.patch.object(eng_mod, "_BCSR_I8", True), \
+                mock.patch("cognn_tpu.engine.gas.BCSR_TILED_NNZB",
+                           tiled_thresh):
+            e = MpcGasEngine(build_device_plan(graphs), param,
+                             aggregation="bcsr")
+        assert "bcsr_colsum_i32" in e.arr.agg
+        assert e.arr.agg["bcsr_kernel"].vals.dtype == jnp.int8
+        me = e.metrics_host(e.run_epochs(2))
+        np.testing.assert_array_equal(me["loss"], ms["loss"])
+        for l in range(2):
+            np.testing.assert_array_equal(e.reveal_weights()[l],
+                                          sparse.reveal_weights()[l])
