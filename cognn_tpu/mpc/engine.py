@@ -47,9 +47,11 @@ _SPARSE_AGG_BARRIER = True
 
 # int8 vals for the Pallas bcsr share kernels (halves the A stream).
 # Parity-tested in interpret mode; enable-by-default is pending a real-TPU
-# Mosaic s8-matmul validation (tools/bench_spmm.py / bench_epoch_scan) —
+# Mosaic s8-matmul validation (COGNN_BCSR_I8=1 toggles it for that run) —
 # the dense XLA i8 path has no such gate.
-_BCSR_I8 = False
+import os as _os  # noqa: E402
+
+_BCSR_I8 = _os.environ.get("COGNN_BCSR_I8", "0") == "1"
 
 
 def _select_mpc_backend(plan: DevicePlan, mode: str,
