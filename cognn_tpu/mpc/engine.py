@@ -596,10 +596,21 @@ class MpcGasEngine:
             # reference-faithful per-epoch schedule for paper-parity
             # comm/duration tables.
             k_ah0, _ = jax.random.split(jax.random.key(0))
-            ah0 = jax.jit(
-                lambda arr, x0, n0, k: self._aggregate(
-                    _MpcComm(), k, arr, n0, x0, dest_scale=True)
-            )(self.arr, self.x0_sh, self.n0_fp, k_ah0)
+            # one-time computation -> use the sparse OGA regardless of the
+            # configured backend (all backends are bit-identical,
+            # test-pinned): no wide byte-plane kernel compile for a
+            # single use, and the CPU comm-trace workers skip minutes of
+            # interpret-mode Pallas
+            meta_save = self._bcsr_sharded_meta
+            self._bcsr_sharded_meta = None
+            try:
+                ah0 = jax.jit(
+                    lambda arr, x0, n0, k: self._aggregate(
+                        _MpcComm(), k, arr, n0, x0, dest_scale=True)
+                )(dataclasses.replace(self.arr, agg={}), self.x0_sh,
+                  self.n0_fp, k_ah0)
+            finally:
+                self._bcsr_sharded_meta = meta_save
             # party-LEADING leaves (the sharded placement shards axis 0)
             x0p = {"ah0": jnp.moveaxis(ah0, 2, 0), "fwd": prep(ah0)}
             if variant == "unopt":
