@@ -129,6 +129,21 @@ def _plane_rows(planes: int, width: int):
     return planes * dt, dt
 
 
+def _mpc_agg_width(param: GNNParam, variant: str, hoist_agg: bool) -> int:
+    """Maximum feature width any PER-EPOCH share aggregation runs at. With
+    the layer-0 agg(x0) hoisted out of the unopt schedule (the default),
+    the epochs only aggregate in hidden/label space — the kernel should be
+    supertiled for THOSE widths (the same C-extent config as opt), not for
+    the full input width the hoisted aggregation no longer uses."""
+    from cognn_tpu.engine.comm_model import _variant_agg_dims
+
+    dims = _variant_agg_dims(param.layer_dims, variant, mpc=True,
+                             hoist_agg=hoist_agg)
+    if not dims:
+        return param.layer_dims[-1]
+    return max(dims)
+
+
 def _segment_sum_shares(sh: jnp.ndarray, seg: jnp.ndarray,
                         num_segments: int) -> jnp.ndarray:
     """Exact mod-2^64 segment sum of share rows, carry-free on TPU.
@@ -461,7 +476,7 @@ class MpcGasEngine:
 
                 planes = 2 * (fp or FixedPointSpec()).ring.limbs * 4
                 rows, self._agg_d_tile = _plane_rows(
-                    planes, agg_width(param, variant))
+                    planes, _mpc_agg_width(param, variant, hoist_agg))
                 agg_operands, self._bcsr_sharded_meta = \
                     _build_bcsr_sharded(plan, rows)
             else:
@@ -492,7 +507,8 @@ class MpcGasEngine:
                 from cognn_tpu.ops.pallas_spmm import PallasSpmmTiled
 
                 planes = 2 * (fp or FixedPointSpec()).ring.limbs * 4
-                rows, dt = _plane_rows(planes, agg_width(param, variant))
+                rows, dt = _plane_rows(
+                    planes, _mpc_agg_width(param, variant, hoist_agg))
                 kern = _pick_bcsr_kernel(
                     m, rows, d_tile_rows=(rows if dt else None),
                     vals_dtype=jnp.int8 if i8_ok else jnp.bfloat16)
