@@ -203,7 +203,7 @@ def select_backend(plan: DevicePlan, mode: str,
         if param is None:
             return True
         rows = -(-agg_width(param, variant) // 8) * 8
-        return bcsr_supertile_c(rows) >= 4
+        return bcsr_supertile_c(rows) >= BCSR_MIN_C
 
     if mode != "stacked":
         return "bcsr" if bcsr_ok() else "sparse"
@@ -240,6 +240,12 @@ def _build_bcsr_stacked(plan: DevicePlan, rhs_rows: int = 8):
 
 
 BCSR_TILED_NNZB = 1024  # supertile the SpMM at/above this block count
+# Minimum supertile extent: C=4 supertiles MISCOMPILE on the real v5e
+# (measured r5: identical programs converge at C=8 plaintext / C=16 mpc,
+# silently corrupt at C=4 — loss 4.59 vs 0.05 on PubMed unopt-mpc;
+# interpret mode is always correct, so the defect is below Pallas).
+# Feasibility checks and the D-tile bound all floor at this extent.
+BCSR_MIN_C = 8
 # bytes per supertile operand (src or dst tile); 2 MiB reproduces both
 # TPU-validated configs: C=128 @ 16 RHS rows, C=16 @ 256 byte-plane rows
 VMEM_TILE_BUDGET = 2 << 20
@@ -267,14 +273,14 @@ def bcsr_d_tile(planes_per_feature: int, width: int) -> int:
     """Feature-tile extent for a byte-plane SpMM whose full RHS
     (``planes_per_feature * width`` rows) blows the supertile VMEM budget:
     the widest D-chunk whose ``planes_per_feature * Dt`` rows still admit a
-    C >= 4 supertile. Chunking re-streams the A block values once per
+    C >= BCSR_MIN_C supertile. Chunking re-streams the A block values once per
     chunk, so the LARGEST feasible tile minimizes A traffic (the dominant
     stream for narrow chunks); the RHS/output streams are chunk-count
     invariant. Keeps wide-width (unopt / full-input-space) share
     aggregation on the MXU instead of falling back to the sparse OGA
     (original-gcn's full-width message passing, `original-gcn/
     gcn.h:243-251`)."""
-    rows_max = VMEM_TILE_BUDGET // (4 * 128 * 4)  # C=4 supertile bound
+    rows_max = VMEM_TILE_BUDGET // (BCSR_MIN_C * 128 * 4)
     dt = max(1, rows_max // max(planes_per_feature, 1))
     return min(dt, width)
 
@@ -294,27 +300,27 @@ def agg_width(param: GNNParam, variant: str) -> int:
                else _opt_agg_dims(dims))
 
 
-def _pick_bcsr_kernel(m, rhs_rows: int = 8, d_tile_rows: int | None = None,
-                      vals_dtype=None):
+def _pick_bcsr_kernel(m, rhs_rows: int = 8, vals_dtype=None):
     """Measured-best Pallas SpMM variant for a BCSR structure (TPU v5e,
     tools/bench_spmm.py): the one-block-per-step kernel pipelines fine on
     small streams but collapses to ~33 us/step DMA latency at GB-scale
     streams; the supertiled G=32 variant streams those at 700+ GB/s with
     supertile extent C sized to the RHS width by :func:`bcsr_supertile_c`
     (raises when the width is VMEM-infeasible — callers fall back to the
-    sparse OGA). ``d_tile_rows`` enables the kernel-level wide-RHS D-tiling
-    (``rhs_rows`` then sizes one D-tile; the A stream stays single-pass)."""
+    sparse OGA). Wide RHS rows are chunked at the CALL level by the mpc
+    engine (``rhs_rows`` then sizes one chunk)."""
     from cognn_tpu.ops.pallas_spmm import PallasSpmm, PallasSpmmTiled
 
     if m.nnzb >= BCSR_TILED_NNZB:
         c = bcsr_supertile_c(rhs_rows)
-        if c < 4:
+        if c < BCSR_MIN_C:
             raise ValueError(
                 f"bcsr supertiles for a {rhs_rows}-row RHS do not fit VMEM "
-                "(aggregation width too large for the byte-plane/supertile "
-                "layout at this scale); use aggregation='sparse'")
+                "at the C >= BCSR_MIN_C floor (aggregation width too large "
+                "for the byte-plane/supertile layout at this scale); use "
+                "aggregation='sparse'")
         kw = {} if vals_dtype is None else {"vals_dtype": vals_dtype}
-        return PallasSpmmTiled(m, G=32, C=c, Cd=c, d_tile=d_tile_rows, **kw)
+        return PallasSpmmTiled(m, G=32, C=c, Cd=c, **kw)
     kw = {} if vals_dtype is None else {"vals_dtype": vals_dtype}
     return PallasSpmm(m, **kw)
 
@@ -342,10 +348,11 @@ def _build_bcsr_sharded(plan: DevicePlan, rhs_rows: int = 8):
 
     if max(m.nnzb for m in ms) >= BCSR_TILED_NNZB:
         c = bcsr_supertile_c(rhs_rows)
-        if c < 4:
+        if c < BCSR_MIN_C:
             raise ValueError(
                 f"bcsr supertiles for a {rhs_rows}-row RHS do not fit "
-                "VMEM; use aggregation='sparse'")
+                "VMEM at the C >= BCSR_MIN_C floor; use "
+                "aggregation='sparse'")
         ks = [PallasSpmmTiled(m, G=32, C=c, Cd=c, interpret=True)
               for m in ms]
         ng = max(len(np.asarray(k.first)) for k in ks)

@@ -46,12 +46,12 @@ _U32 = jnp.uint32
 _SPARSE_AGG_BARRIER = True
 
 # int8 vals for the Pallas bcsr share kernels (halves the A stream).
-# Parity-tested in interpret mode; enable-by-default is pending a real-TPU
-# Mosaic s8-matmul validation (COGNN_BCSR_I8=1 toggles it for that run) —
-# the dense XLA i8 path has no such gate.
+# Validated on a real v5e (r5): PubMed 4p mpc epoch 5.00 -> 3.32 ms,
+# bit-convergent (loss 0.068 over 256 scan epochs) — Mosaic s8 matmuls
+# are good. COGNN_BCSR_I8=0 restores the bf16 vals for A/B comparison.
 import os as _os  # noqa: E402
 
-_BCSR_I8 = _os.environ.get("COGNN_BCSR_I8", "0") == "1"
+_BCSR_I8 = _os.environ.get("COGNN_BCSR_I8", "1") == "1"
 
 
 def _select_mpc_backend(plan: DevicePlan, mode: str,
@@ -86,7 +86,9 @@ def _select_mpc_backend(plan: DevicePlan, mode: str,
         # ring's 16 planes).
         if param is None:
             return True
-        return bcsr_supertile_c(2 * limbs * 4) >= 4
+        from cognn_tpu.engine.gas import BCSR_MIN_C
+
+        return bcsr_supertile_c(2 * limbs * 4) >= BCSR_MIN_C
 
     P, V = plan.num_parties, plan.V
     mult = 0
@@ -121,9 +123,10 @@ def _plane_rows(planes: int, width: int):
     when the full ``planes * width`` RHS blows the supertile VMEM budget
     (wide unopt / full-input-space aggregation). Returns (rows, d_tile);
     d_tile None means the whole width rides one kernel call."""
-    from cognn_tpu.engine.gas import bcsr_d_tile, bcsr_supertile_c
+    from cognn_tpu.engine.gas import (BCSR_MIN_C, bcsr_d_tile,
+                                      bcsr_supertile_c)
 
-    if bcsr_supertile_c(planes * width) >= 4:
+    if bcsr_supertile_c(planes * width) >= BCSR_MIN_C:
         return planes * width, None
     dt = bcsr_d_tile(planes, width)
     return planes * dt, dt
@@ -502,22 +505,18 @@ class MpcGasEngine:
                             "in-edges; 255 * count >= 2^24 overflows the "
                             "f32 mantissa in the bcsr byte-plane share "
                             "aggregation (use 'sparse')")
-                from cognn_tpu.engine.gas import (_pick_bcsr_kernel,
-                                                  agg_width)
-                from cognn_tpu.ops.pallas_spmm import PallasSpmmTiled
+                from cognn_tpu.engine.gas import _pick_bcsr_kernel
 
                 planes = 2 * (fp or FixedPointSpec()).ring.limbs * 4
                 rows, dt = _plane_rows(
                     planes, _mpc_agg_width(param, variant, hoist_agg))
                 kern = _pick_bcsr_kernel(
-                    m, rows, d_tile_rows=(rows if dt else None),
+                    m, rows,
                     vals_dtype=jnp.int8 if i8_ok else jnp.bfloat16)
-                # the supertiled kernel D-tiles INTERNALLY (A blocks
-                # stream once); only the one-block kernel needs the
-                # call-level feature chunking
-                self._agg_d_tile = (None if isinstance(kern,
-                                                       PallasSpmmTiled)
-                                    else dt)
+                # wide RHS rows are chunked at the CALL level (a
+                # kernel-internal 2D row-tile grid is unsound on TPU —
+                # see the note in ops/pallas_spmm.py)
+                self._agg_d_tile = dt
                 agg_operands = {"bcsr_kernel": kern}
                 if i8_ok:
                     agg_operands["bcsr_colsum_i32"] = jnp.asarray(
@@ -933,43 +932,19 @@ class MpcGasEngine:
             # collective, and ring-adds the P partial share sums — the
             # multi-chip twin of the stacked `_bcsr_agg_shares`.
             from cognn_tpu.ops.bcsr import BLOCK
-            from cognn_tpu.ops.pallas_spmm import (_spmm_call, _tiled_call,
-                                                   _tiled_wide_call)
+            from cognn_tpu.ops.pallas_spmm import _spmm_call, _tiled_call
 
             S, L = sh.shape[:2]
             Pl = sh.shape[2]
             interp = jax.default_backend() != "tpu"
             meta = self._bcsr_sharded_meta
 
-            def one_wide(sh_i, i):
-                # kernel-level D-tiling (2D grid, A blocks stream once) —
-                # the sharded twin of the stacked wide-RHS supertiled path
-                _, G, C, Cd, nsc, ndc, nsb, ndb = meta
-                ht = _expand_byte_planes(sh_i, jnp.float32)
-                Dp = ht.shape[0]  # S*L*4*D
-                Dt = S * L * 4 * self._agg_d_tile
-                padD = (-Dp) % Dt
-                ht = jnp.pad(ht, ((0, padD), (0, nsc * C * BLOCK - V)))
-                ht3 = ht.reshape(Dp + padD, -1, BLOCK).swapaxes(0, 1)
-                out3 = _tiled_wide_call(arr.agg["bcsr_t_first"][i],
-                                        arr.agg["bcsr_t_oi"][i],
-                                        arr.agg["bcsr_t_hi"][i],
-                                        arr.agg["bcsr_t_bil"][i],
-                                        arr.agg["bcsr_t_bjl"][i], ht3,
-                                        arr.agg["bcsr_t_vals"][i],
-                                        G, C, Cd, ndc, Dt, interp)
-                out = out3.swapaxes(0, 1).reshape(Dp + padD, -1)
-                out = out[:Dp, :P * V]
-                return _recombine_byte_planes(
-                    out.T.reshape(P * V, S * L * 4, D), S, L)
-
             def one(i):
                 dt = self._agg_d_tile
                 if dt is not None and D > dt:
-                    if meta[0] == "tiled":
-                        return one_wide(sh[:, :, i], i)
-                    # one-block kernel: call-level feature chunking (same
-                    # scheme as _bcsr_agg_shares)
+                    # call-level feature chunking (same scheme as
+                    # _bcsr_agg_shares; a kernel-internal row-tile grid
+                    # is unsound on TPU — ops/pallas_spmm.py)
                     pad = (-D) % dt
                     padded = jnp.pad(sh[:, :, i],
                                      ((0, 0),) * 2 + ((0, 0), (0, pad)))
@@ -1128,7 +1103,10 @@ class MpcGasEngine:
         # measurable and the parity tests pin sparse == dense bit-exactly.
         # Standalone repro: tools/repro_tpu_fusion_bug.py (flips the flag
         # below so the workaround can be re-validated after an XLA bump
-        # and reported upstream).
+        # and reported upstream). Re-validated 2026-08-21 on the v5e: the
+        # barrier-off program is now ALSO correct in this jaxlib — the
+        # barrier stays as zero-cost insurance; retire it only after the
+        # repro passes on the deployment jaxlib too.
         if _SPARSE_AGG_BARRIER:
             return jax.lax.optimization_barrier(agg)
         return agg

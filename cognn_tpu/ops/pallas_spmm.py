@@ -220,55 +220,25 @@ def _tiled_call(first, oi, hi, bil, bjl, ht, vals, G: int, C: int, Cd: int,
     )(first, oi, hi, bil, bjl, ht, vals)
 
 
-@functools.partial(jax.jit, static_argnames=("G", "C", "Cd", "n_dst_chunks",
-                                             "Dt", "interpret"))
-def _tiled_wide_call(first, oi, hi, bil, bjl, ht, vals, G: int, C: int,
-                     Cd: int, n_dst_chunks: int, Dt: int,
-                     interpret: bool = False):
-    """Supertiled SpMM for a WIDE RHS (D rows beyond the VMEM supertile
-    budget): 2D grid (group, D-tile) with the D axis FASTEST, so the G-block
-    A chunk's index map is constant across the inner steps — Pallas fetches
-    it ONCE per group and the A stream stays single-pass at any width
-    (call-level D-chunking would re-stream the dominant A blocks once per
-    chunk). ht block-major [n_src_chunks*C, D, BLOCK], D % Dt == 0."""
-    D = ht.shape[1]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # first, oi, hi, bil, bjl
-        grid=(len(first), D // Dt),
-        in_specs=[
-            pl.BlockSpec((C, Dt, BLOCK),
-                         lambda g, t, first, oi, hi, bil, bjl:
-                         (hi[g], t, 0)),
-            pl.BlockSpec((G, BLOCK, BLOCK),
-                         lambda g, t, first, oi, hi, bil, bjl: (g, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (Cd, Dt, BLOCK),
-            lambda g, t, first, oi, hi, bil, bjl: (oi[g], t, 0)),
-    )
-    return pl.pallas_call(
-        _tiled_kernel(G, True),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_dst_chunks * Cd, D, BLOCK),
-            jnp.int32 if ht.dtype == jnp.int8 else ht.dtype),
-        interpret=interpret,
-    )(first, oi, hi, bil, bjl, ht, vals)
-
-
 class PallasSpmmTiled:
     """Supertiled bound kernel (same math as :class:`PallasSpmm`).
 
     ``G``: A blocks streamed per grid step; ``C``/``Cd``: source/destination
     supertile extents in 128-blocks. Zero-block padding cost is one partial
-    group per nonempty supertile. ``d_tile``: RHS-row tile extent for wide
-    RHS — kernel-level D-tiling via :func:`_tiled_wide_call` (A blocks
-    stream once regardless of width)."""
+    group per nonempty supertile.
+
+    Wide RHS (rows past the supertile VMEM budget) must be chunked at the
+    CALL level (callers slice the row axis; `mpc/engine._bcsr_agg_shares`
+    d_tile). A kernel-internal 2D (group, row-tile) grid was tried in r5
+    and is UNSOUND on real TPUs: revisiting an output block index after
+    leaving it reads UNDEFINED VMEM (Pallas only zero-fills/fetches out
+    tiles per the revisiting-output pattern — each destination must be
+    ONE contiguous run of grid steps; interpret mode hides this). It
+    silently corrupted PubMed unopt-mpc training (loss 4.6 vs 0.05)."""
 
     def __init__(self, m: BcsrMatrix, G: int = 8, C: int = 16, Cd: int = 16,
                  block_major: bool = True, interpret: bool | None = None,
-                 d_tile: int | None = None, vals_dtype=jnp.bfloat16):
-        self.d_tile = d_tile
+                 vals_dtype=jnp.bfloat16):
         self._vals_dtype = vals_dtype
         self.m, self.G, self.C, self.Cd = m, G, C, Cd
         self.block_major = block_major
@@ -338,17 +308,7 @@ class PallasSpmmTiled:
         pad = self.n_src_chunks * self.C * BLOCK - ht.shape[1]
         if pad:
             ht = jnp.pad(ht, ((0, 0), (0, pad)))
-        if self.d_tile and D > self.d_tile:
-            padD = (-D) % self.d_tile
-            if padD:
-                ht = jnp.pad(ht, ((0, padD), (0, 0)))
-            ht3 = ht.reshape(D + padD, -1, BLOCK).swapaxes(0, 1)
-            out3 = _tiled_wide_call(self.first, self.oi, self.hi, self.bil,
-                                    self.bjl, ht3, self.vals, self.G,
-                                    self.C, self.Cd, self.n_dst_chunks,
-                                    self.d_tile, self.interpret)
-            out = out3.swapaxes(0, 1).reshape(D + padD, -1)[:D]
-        elif self.block_major:
+        if self.block_major:
             ht3 = ht.reshape(D, -1, BLOCK).swapaxes(0, 1)
             out3 = _tiled_call(self.first, self.oi, self.hi, self.bil,
                                self.bjl, ht3, self.vals, self.G, self.C,
@@ -366,7 +326,7 @@ class PallasSpmmTiled:
 _register_kernel_pytree(
     PallasSpmmTiled, ("first", "oi", "hi", "bil", "bjl", "vals"),
     ("G", "C", "Cd", "block_major", "n_src_blocks", "n_dst_blocks",
-     "n_src_chunks", "n_dst_chunks", "interpret", "d_tile"))
+     "n_src_chunks", "n_dst_chunks", "interpret"))
 
 
 # ---------------------------------------------------------------------------

@@ -439,9 +439,9 @@ def test_x0_prep_wired_into_engines():
 def test_d_tiled_bcsr_mpc_matches_sparse():
     """Wide-width byte-plane bcsr aggregation past the supertile VMEM
     budget (r5) is bit-identical to the sparse OGA — the unopt
-    full-input-width schedule exercises BOTH wide paths: the supertiled
-    kernel's INTERNAL 2D-grid D-tiling (A blocks stream once) and the
-    one-block kernel's call-level feature chunking."""
+    full-input-width schedule exercises the call-level feature chunking
+    on BOTH kernel variants (supertiled and one-block; a kernel-internal
+    row-tile grid is unsound on TPU — ops/pallas_spmm.py)."""
     from unittest import mock
 
     from cognn_tpu.ops.pallas_spmm import PallasSpmm, PallasSpmmTiled
@@ -458,8 +458,7 @@ def test_d_tiled_bcsr_mpc_matches_sparse():
                              aggregation="bcsr")
     kern = tiled.arr.agg["bcsr_kernel"]
     assert isinstance(kern, PallasSpmmTiled)
-    assert kern.d_tile == 64  # 16 planes x feature-tile 4 rows
-    assert tiled._agg_d_tile is None  # kernel-internal tiling
+    assert tiled._agg_d_tile == 2  # call-level chunks (C >= 8 floor)
     mt = tiled.metrics_host(tiled.run_epochs(2))
     np.testing.assert_array_equal(mt["loss"], ms["loss"])
     for l in range(2):
@@ -470,7 +469,7 @@ def test_d_tiled_bcsr_mpc_matches_sparse():
         chunked = MpcGasEngine(build_device_plan(graphs), param, "unopt",
                                aggregation="bcsr")
     assert isinstance(chunked.arr.agg["bcsr_kernel"], PallasSpmm)
-    assert chunked._agg_d_tile == 4
+    assert chunked._agg_d_tile == 2
     mc = chunked.metrics_host(chunked.run_epochs(2))
     np.testing.assert_array_equal(mc["loss"], ms["loss"])
 
@@ -493,7 +492,7 @@ def test_d_tiled_sharded_bcsr_matches_stacked():
         sharded = MpcGasEngine(build_device_plan(graphs), param, "unopt",
                                mode="sharded", mesh=mesh,
                                aggregation="bcsr")
-    assert sharded._agg_d_tile == 4
+    assert sharded._agg_d_tile == 2
     assert sharded._bcsr_sharded_meta[0] == "tiled"  # -> one_wide path
     ms = stacked.metrics_host(stacked.run_epochs(2))
     mh = sharded.metrics_host(sharded.run_epochs(2))
