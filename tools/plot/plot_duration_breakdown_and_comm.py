@@ -57,7 +57,7 @@ def print_markdown(rows, tags):
     print("|" + "---|" * len(header))
     for name, per_tag in rows:
         vals = [per_tag.get(t, float("nan")) for t in tags]
-        cells = [name] + [f"{v:.4f}" for v in vals] + [f"{sum(vals):.4f}"]
+        cells = [name] + [f"{v:.6f}" for v in vals] + [f"{sum(vals):.6f}"]
         print("| " + " | ".join(cells) + " |")
 
 
