@@ -493,7 +493,7 @@ def test_d_tiled_sharded_bcsr_matches_stacked():
                                mode="sharded", mesh=mesh,
                                aggregation="bcsr")
     assert sharded._agg_d_tile == 2
-    assert sharded._bcsr_sharded_meta[0] == "tiled"  # -> one_wide path
+    assert sharded._bcsr_sharded_meta[0] == "tiled"  # chunked tiled path
     ms = stacked.metrics_host(stacked.run_epochs(2))
     mh = sharded.metrics_host(sharded.run_epochs(2))
     np.testing.assert_array_equal(mh["loss"], ms["loss"])

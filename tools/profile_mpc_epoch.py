@@ -84,7 +84,6 @@ _FUNC_RULES = {  # (file, function) overrides, mpc/engine.py + protocol.py
     ("engine.py", "_shift64_u32"): "oga",
     ("engine.py", "one"): "oga",
     ("engine.py", "one_chunk"): "oga",
-    ("engine.py", "one_wide"): "oga",
     ("engine.py", "take"): "oga",
     ("engine.py", "scatter_one"): "oga",
     ("engine.py", "_ring_psum_shares"): "apply",
