@@ -76,6 +76,7 @@ _FILE_RULES = {
 }
 _FUNC_RULES = {  # (file, function) overrides, mpc/engine.py + protocol.py
     ("engine.py", "_dense_agg_shares"): "oga",
+    ("engine.py", "_dense_agg_shares_i8"): "oga",
     ("engine.py", "_bcsr_agg_shares"): "oga",
     ("engine.py", "_segment_sum_shares"): "oga",
     ("engine.py", "_aggregate_impl"): "oga",
@@ -91,6 +92,7 @@ _FUNC_RULES = {  # (file, function) overrides, mpc/engine.py + protocol.py
     ("engine.py", "_predict_apply"): "apply",
     ("engine.py", "_epochs_scan_body"): "scan-overhead",
     ("engine.py", "step"): "scan-overhead",
+    ("engine.py", "run_epochs_scan"): "scan-overhead",
     ("protocol.py", "matmul"): "matmul",
     ("protocol.py", "matmul_prepped"): "matmul",
     ("protocol.py", "prep_matmul_a"): "matmul",
